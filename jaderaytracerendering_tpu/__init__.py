@@ -1,0 +1,33 @@
+"""jaderaytracerendering_tpu — a TPU-native path-tracing framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of
+MaxMorning/JadeRayTraceRendering (reference: /root/reference/PathTrace.cpp,
+PathTrace.cu, shaders/*): a progressive-preview + batch path tracer with a
+SAH BVH, NEE against area lights and an HDR environment, and the "jade"
+material stack (diffuse / mirror / subsurface random-walk BSSRDF / direct
+refraction with Beer-Lambert absorption).
+
+Architecture (TPU-first, not a port):
+
+- ``core``       vector math conventions, counter-based RNG (replaces the
+                 reference's wang_hash / 31 aliased cuRAND states), orbit
+                 camera, film (progressive accumulation buffers).
+- ``scene``      OBJ loader, materials, transforms, Radiance .hdr loader,
+                 equirect environment sampling, scene assembly into SoA
+                 device buffers, render_args.txt / JSON serialization.
+- ``accel``      SAH BVH builder (NumPy + native C++), SoA flattening,
+                 per-object area CDF tables for BSSRDF exit sampling.
+- ``ops``        batched ray-triangle / ray-AABB kernels, brute-force and
+                 BVH nearest-hit over ray wavefronts (jnp + Pallas).
+- ``integrator`` wavefront path integrator: lax.scan over bounces with
+                 masked material lanes instead of the CUDA megakernel's
+                 divergent branches.
+- ``cpuref``     NumPy oracle implementing the same math + RNG streams.
+- ``post``       accumulation, ACES/Reinhard tonemaps, gamma, BMP/PNG IO.
+- ``parallel``   jax.sharding mesh: film-tile data parallelism and
+                 spp-axis sharding with psum accumulation over ICI.
+- ``models``     demo scenes (jade Buddha stand-in) and procedural meshes.
+- ``cli``        preview (progressive) and render (batch) entry points.
+"""
+
+__version__ = "0.1.0"

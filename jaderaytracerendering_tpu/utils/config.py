@@ -1,0 +1,51 @@
+"""Render configuration.
+
+Replaces the reference's compile-time ``#define`` wall (WIDTH/HEIGHT
+PathTrace.cpp:26-27; RENDER_WIDTH/HEIGHT, TILE_SIZE, STACK_CAPACITY,
+RR_RATE, SSS_RATE, MAX_FULL_REFLEX_TIME PathTrace.cu:24-47; GLSL
+STACK_CAPACITY/RR_RATE fshader_render.fsh:32-33) plus its stdin spp prompt
+with one dataclass, JSON-serializable for batch runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1024                 # PathTrace.cpp:26
+    height: int = 1024                # PathTrace.cpp:27
+    spp: int = 16                     # runtime stdin in reference
+    max_depth: int = 16               # bounce cap; GLSL 16 / CUDA 128
+    rr_rate: float = 0.9              # PathTrace.cu:35 (GLSL uses 0.8)
+    sss_rate: float = 0.5             # PathTrace.cu:47
+    max_refract_bounces: int = 32     # MAX_FULL_REFLEX_TIME, PathTrace.cu:39
+    internal_reflect_rate: float = 0.2  # PathTrace.cu:1215
+    hdr_clamp: float = 10.0           # PathTrace.cu:700
+    emissive_break_eps: float = 1.4e-5  # path-termination test, PathTrace.cu:917
+    emissive_skip_eps: float = 1.5e-4   # continuation skip test, PathTrace.cu:1005
+    seed: int = 0
+    jitter: str = "cuda"              # 'cuda' | 'gl' film jitter convention
+    tonemap: str = "aces"             # 'aces' (CUDA) | 'reinhard' (GL pass3)
+    spp_batch: int = 4                # samples per wavefront launch
+    rays_per_launch: int = 1 << 20    # wavefront width cap (lanes)
+    traversal: str = "bvh"            # 'bvh' | 'brute'
+    bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
+    bvh_stack_size: int = 64          # reference uses 128 (PathTrace.cu:34)
+    mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "RenderConfig":
+        data = json.loads(text)
+        if data.get("mesh_shape") is not None:
+            data["mesh_shape"] = tuple(data["mesh_shape"])
+        return RenderConfig(**data)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
