@@ -1,0 +1,188 @@
+"""Scene assembly: objects -> flat SoA device buffers.
+
+Covers the reference's L1/L3 layers (SURVEY §1): triangle concatenation
+with per-object segments (Obj_seg, PathTrace.cu:348-353), per-object area
+prefix sums for BSSRDF exit sampling (PathTrace.cu:1538-1546), the
+original->sorted triangle index mapping (PathTrace.cu:1573-1579), the
+emissive-triangle registry (PathTrace.cu:1596-1600), SAH BVH build, and
+the encode step — but into JAX SoA arrays instead of CUDA structs /
+GL texture buffers. Materials are stored per *object* and gathered via a
+per-triangle object id (the reference duplicates materials per triangle,
+PathTrace.cu:1588-1594 — same semantics, 1/8th the gather bandwidth).
+
+Static scene facts (counts, which material features are present) live in
+pytree metadata so jit can prune unused branches at trace time — e.g. a
+scene with no DIR_REFRACT object compiles no refraction march
+(the demo scene's case: PathTrace.cpp:981-1037 uses SUB_SURFACE only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel import bvh as bvh_mod
+from ..core import vecmath
+from . import material as material_mod
+from .objloader import MeshData
+
+
+@dataclasses.dataclass
+class SceneObject:
+    mesh: MeshData
+    material: material_mod.Material
+    name: str = ""
+    # provenance for render_args.txt round-trips (may be None for
+    # procedural meshes)
+    source_path: Optional[str] = None
+    transform: Optional[np.ndarray] = None
+    normalize: bool = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SceneData:
+    """Flat device-side scene. Triangles are in BVH-sorted order."""
+
+    # geometry [T, 3]
+    tri_p1: jax.Array
+    tri_p2: jax.Array
+    tri_p3: jax.Array
+    tri_norm: jax.Array
+    tri_obj: jax.Array            # [T] int32 object id
+    # per-object materials [O, ...]
+    mat_emissive: jax.Array
+    mat_brdf: jax.Array
+    mat_reflex: jax.Array         # [O] int32
+    mat_refract: jax.Array        # [O] int32
+    mat_refract_rate: jax.Array
+    mat_refract_albedo: jax.Array
+    mat_refract_index: jax.Array  # [O] float32
+    # light + BSSRDF support tables
+    emit_idx: jax.Array           # [E] int32, sorted-space triangle ids
+    prefix_area: jax.Array        # [T] float32, load-order space
+    obj_total_area: jax.Array     # [O] float32 = prefix_area[seg_end]
+    mapping: jax.Array            # [T] int32 load-order -> sorted
+    seg_begin: jax.Array          # [O] int32 load-order segment begin
+    seg_end: jax.Array            # [O] int32 load-order segment end (incl.)
+    # BVH (node 0 sentinel, root 1)
+    bvh_left: jax.Array
+    bvh_right: jax.Array
+    bvh_n: jax.Array
+    bvh_index: jax.Array
+    bvh_aa: jax.Array
+    bvh_bb: jax.Array
+    # environment
+    env_map: jax.Array            # [He, We, 3] float32
+
+    # ---- static metadata (compile-time specialization) ----
+    n_triangles: int = dataclasses.field(metadata=dict(static=True))
+    n_objects: int = dataclasses.field(metadata=dict(static=True))
+    n_emit: int = dataclasses.field(metadata=dict(static=True))
+    n_nodes: int = dataclasses.field(metadata=dict(static=True))
+    leaf_size: int = dataclasses.field(metadata=dict(static=True))
+    has_sss: bool = dataclasses.field(metadata=dict(static=True))
+    has_refract: bool = dataclasses.field(metadata=dict(static=True))
+    has_mirror: bool = dataclasses.field(metadata=dict(static=True))
+    max_leaf_items: int = dataclasses.field(metadata=dict(static=True))
+
+
+def assemble(
+    objects: List[SceneObject],
+    env_map: np.ndarray,
+    leaf_size: int = 8,
+    bvh_method: str = "sah",
+    bvh_backend: str = "auto",
+    xp=jnp,
+) -> SceneData:
+    """Build device buffers from scene objects.
+
+    ``xp=jnp`` produces JAX arrays (device upload); ``xp=np`` keeps NumPy
+    (for the CPU oracle).
+    """
+    assert objects, "scene needs at least one object"
+    p1 = np.concatenate([o.mesh.p1 for o in objects])
+    p2 = np.concatenate([o.mesh.p2 for o in objects])
+    p3 = np.concatenate([o.mesh.p3 for o in objects])
+    norm = np.concatenate([o.mesh.norm for o in objects])
+    t = len(p1)
+    obj_idx = np.concatenate(
+        [np.full(o.mesh.n_triangles, i, np.int32) for i, o in enumerate(objects)]
+    )
+
+    # per-object load-order segments (Obj_seg, PathTrace.cu:435-436)
+    counts = np.array([o.mesh.n_triangles for o in objects], np.int64)
+    seg_end = np.cumsum(counts) - 1
+    seg_begin = seg_end - counts + 1
+
+    # area prefix sums in load order (PathTrace.cu:1538-1546)
+    areas = vecmath.triangle_area(
+        p1.astype(np.float64), p2.astype(np.float64), p3.astype(np.float64), np
+    )
+    prefix_area = np.empty(t, np.float32)
+    for b, e in zip(seg_begin, seg_end):
+        prefix_area[b : e + 1] = np.cumsum(areas[b : e + 1])
+    obj_total_area = prefix_area[seg_end].astype(np.float32)
+
+    # BVH build reorders triangles (PathTrace.cu:1565)
+    if bvh_backend in ("auto", "native"):
+        from ..accel import native as native_mod
+
+        nodes, perm = native_mod.build(
+            p1, p2, p3, leaf_size=leaf_size, method=bvh_method,
+            required=(bvh_backend == "native"),
+        )
+    else:
+        nodes, perm = bvh_mod.build(p1, p2, p3, leaf_size=leaf_size, method=bvh_method)
+    p1, p2, p3, norm, obj_idx = (a[perm] for a in (p1, p2, p3, norm, obj_idx))
+    # mapping: load-order id -> sorted position (PathTrace.cu:1579)
+    mapping = np.empty(t, np.int32)
+    mapping[perm] = np.arange(t, dtype=np.int32)
+
+    # emissive registry in sorted space (PathTrace.cu:1596-1600)
+    mats = [o.material for o in objects]
+    emissive_per_obj = np.array([m.emissive for m in mats], np.float32)
+    is_emissive_obj = (emissive_per_obj > material_mod.EMISSIVE_THRESHOLD).any(axis=1)
+    emit_idx = np.nonzero(is_emissive_obj[obj_idx])[0].astype(np.int32)
+
+    refract_modes = np.array([m.refract_mode for m in mats], np.int32)
+    reflex_modes = np.array([m.reflex_mode for m in mats], np.int32)
+
+    to = (lambda a, dt=np.float32: xp.asarray(np.ascontiguousarray(a), dt))
+    return SceneData(
+        tri_p1=to(p1), tri_p2=to(p2), tri_p3=to(p3), tri_norm=to(norm),
+        tri_obj=to(obj_idx, np.int32),
+        mat_emissive=to(emissive_per_obj),
+        mat_brdf=to(np.array([m.brdf for m in mats], np.float32)),
+        mat_reflex=to(reflex_modes, np.int32),
+        mat_refract=to(refract_modes, np.int32),
+        mat_refract_rate=to(np.array([m.refract_rate for m in mats], np.float32)),
+        mat_refract_albedo=to(np.array([m.refract_albedo for m in mats], np.float32)),
+        mat_refract_index=to(np.array([m.refract_index for m in mats], np.float32)),
+        emit_idx=to(emit_idx, np.int32),
+        prefix_area=to(prefix_area),
+        obj_total_area=to(obj_total_area),
+        mapping=to(mapping, np.int32),
+        seg_begin=to(seg_begin, np.int32),
+        seg_end=to(seg_end, np.int32),
+        bvh_left=to(nodes.left, np.int32),
+        bvh_right=to(nodes.right, np.int32),
+        bvh_n=to(nodes.n, np.int32),
+        bvh_index=to(nodes.index, np.int32),
+        bvh_aa=to(nodes.aa),
+        bvh_bb=to(nodes.bb),
+        env_map=to(env_map),
+        n_triangles=t,
+        n_objects=len(objects),
+        n_emit=int(len(emit_idx)),
+        n_nodes=nodes.n_nodes,
+        leaf_size=leaf_size,
+        has_sss=bool((refract_modes == material_mod.SUB_SURFACE).any()),
+        has_refract=bool((refract_modes == material_mod.DIR_REFRACT).any()),
+        has_mirror=bool((reflex_modes == material_mod.MIRROR).any()),
+        max_leaf_items=int(nodes.n.max()) if nodes.n_nodes else 0,
+    )
