@@ -43,20 +43,35 @@ def _u32(x, xp):
 
 def pcg_hash(x, xp):
     """PCG output permutation on a uint32 state (O'Neill, pcg-random.org)."""
-    x = x * _u32(747796405, xp) + _u32(2891336453, xp)
-    word = ((x >> ((x >> _u32(28, xp)) + _u32(4, xp))) ^ x) * _u32(277803737, xp)
-    return (word >> _u32(22, xp)) ^ word
+    import contextlib
+
+    import numpy as _np
+
+    guard = _np.errstate(over="ignore") if xp is _np else contextlib.nullcontext()
+    with guard:
+        x = x * _u32(747796405, xp) + _u32(2891336453, xp)
+        word = ((x >> ((x >> _u32(28, xp)) + _u32(4, xp))) ^ x) * _u32(277803737, xp)
+        return (word >> _u32(22, xp)) ^ word
 
 
 def hash_counters(xp, pixel_id, sample_id, bounce, site, seed=0):
-    """Mix a counter tuple into one uint32. Arguments broadcast."""
-    h = _u32(pixel_id, xp) * _u32(_K_PIXEL, xp)
-    h = h + _u32(sample_id, xp) * _u32(_K_SAMPLE, xp)
-    h = pcg_hash(h, xp)
-    h = h + _u32(bounce, xp) * _u32(_K_BOUNCE, xp)
-    h = h + _u32(site, xp) * _u32(_K_SITE, xp)
-    h = h + _u32(seed, xp) * _u32(_K_SEED, xp)
-    return pcg_hash(h, xp)
+    """Mix a counter tuple into one uint32. Arguments broadcast.
+
+    uint32 wraparound is the point; silence NumPy's scalar-overflow
+    warnings (JAX wraps silently)."""
+    import contextlib
+
+    import numpy as _np
+
+    guard = _np.errstate(over="ignore") if xp is _np else contextlib.nullcontext()
+    with guard:
+        h = _u32(pixel_id, xp) * _u32(_K_PIXEL, xp)
+        h = h + _u32(sample_id, xp) * _u32(_K_SAMPLE, xp)
+        h = pcg_hash(h, xp)
+        h = h + _u32(bounce, xp) * _u32(_K_BOUNCE, xp)
+        h = h + _u32(site, xp) * _u32(_K_SITE, xp)
+        h = h + _u32(seed, xp) * _u32(_K_SEED, xp)
+        return pcg_hash(h, xp)
 
 
 def uniform(xp, pixel_id, sample_id, bounce, site, seed=0):

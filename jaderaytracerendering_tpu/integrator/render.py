@@ -1,0 +1,137 @@
+"""Render orchestration: wavefront launches -> film -> display image.
+
+Replaces the reference's render_pixel grid launch (PathTrace.cu:1725-1731)
+and the GL offline_render path (PathTrace.cpp:920-952): primary rays are
+generated for (pixel, sample) lanes, traced in fixed-size wavefront
+launches (bounded by cfg.rays_per_launch), and radiance *sums* are
+accumulated into a Film so progressive preview, batch render and
+checkpoint/resume all share one code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import camera as camera_mod
+from ..core.film import Film
+from ..post import tonemap
+from ..ops import bruteforce, traverse
+from ..utils.config import RenderConfig
+from . import wavefront
+
+
+def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
+    """Bind a nearest-hit function to the scene (traversal choice)."""
+    if cfg.traversal == "brute":
+        if xp is np:
+            return lambda o, d, e: bruteforce.nearest_hit_np(
+                o, d, e, sd.tri_p1, sd.tri_p2, sd.tri_p3
+            )
+        return lambda o, d, e: bruteforce.nearest_hit_jnp(
+            o, d, e, sd.tri_p1, sd.tri_p2, sd.tri_p3
+        )
+    if cfg.traversal == "bvh":
+        if xp is np:
+            return lambda o, d, e: traverse.nearest_hit_bvh_np(
+                o, d, e, sd, stack_size=cfg.bvh_stack_size
+            )
+        return lambda o, d, e: traverse.nearest_hit_bvh_jnp(
+            o, d, e, sd, stack_size=cfg.bvh_stack_size
+        )
+    raise ValueError(f"unknown traversal {cfg.traversal!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "sppb"))
+def render_batch(sd, eye, cam_rot, pixel_ids, sample_base, cfg: RenderConfig,
+                 sppb: int):
+    """Jitted launch: radiance *sum* over sppb samples for each pixel id.
+
+    Returns [P, 3]. This is the framework's forward step — the unit the
+    driver compile-checks and the mesh shards (parallel/).
+    """
+    p = pixel_ids.shape[0]
+    pid = jnp.tile(pixel_ids, sppb)
+    sid = (jnp.repeat(jnp.arange(sppb, dtype=jnp.uint32), p)
+           + jnp.asarray(sample_base, jnp.uint32))
+    o, d = camera_mod.generate_rays(
+        jnp, eye, cam_rot, cfg.width, cfg.height, pid, sid, cfg.seed, cfg.jitter
+    )
+    nearest = make_nearest(sd, cfg, jnp)
+    rad = wavefront.trace_radiance(o, d, pid, sid, sd, cfg, jnp, nearest)
+    return rad.reshape(sppb, p, 3).sum(axis=0)
+
+
+def render_radiance_np(sd, cam, cfg: RenderConfig) -> np.ndarray:
+    """NumPy end-to-end render (small sizes; shares all integrator code).
+
+    This is *not* the independent oracle (see cpuref/) — it runs the same
+    wavefront code on the NumPy backend, which pins down XLA-vs-NumPy
+    divergence separately from algorithmic bugs.
+    """
+    npix = cfg.width * cfg.height
+    pid = np.arange(npix, dtype=np.uint32)
+    accum = np.zeros((npix, 3), np.float32)
+    nearest = make_nearest(sd, cfg, np)
+    for s in range(cfg.spp):
+        o, d = camera_mod.generate_rays(
+            np, cam.eye, cam.camera_rotate, cfg.width, cfg.height, pid,
+            np.uint32(s), cfg.seed, cfg.jitter,
+        )
+        accum += wavefront.trace_radiance(
+            o, d, pid, np.uint32(s), sd, cfg, np, nearest
+        )
+    return (accum / cfg.spp).reshape(cfg.height, cfg.width, 3)
+
+
+def render_film(
+    sd,
+    cam,
+    cfg: RenderConfig,
+    film: Optional[Film] = None,
+    progress: Optional[Callable[[int, int], None]] = None,
+) -> Film:
+    """Accumulate cfg.spp samples into a Film via jitted launches."""
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    rot = jnp.asarray(cam.camera_rotate, jnp.float32)
+
+    # fixed-size pixel chunks (pad the last) to avoid shape churn
+    sppb = max(1, min(cfg.spp_batch, cfg.spp))
+    chunk_px = max(1, min(npix, cfg.rays_per_launch // sppb))
+    n_chunks = -(-npix // chunk_px)
+    pad_npix = n_chunks * chunk_px
+    pixel_ids = np.arange(pad_npix, dtype=np.uint32) % npix  # pad wraps
+
+    done = 0
+    accum = film.accum.reshape(-1, 3)
+    while done < cfg.spp:
+        step = min(sppb, cfg.spp - done)
+        for c in range(n_chunks):
+            ids = jnp.asarray(pixel_ids[c * chunk_px : (c + 1) * chunk_px])
+            out = render_batch(sd, eye, rot, ids, film.count + done, cfg, step)
+            take = min(chunk_px, npix - c * chunk_px)
+            accum = accum.at[c * chunk_px : c * chunk_px + take].add(out[:take])
+        done += step
+        if progress:
+            progress(done, cfg.spp)
+    return Film(accum=accum.reshape(cfg.height, cfg.width, 3),
+                count=film.count + done)
+
+
+def render_image(sd, cam, cfg: RenderConfig) -> np.ndarray:
+    """Full pipeline -> display u8 RGB [H, W, 3], row 0 = top.
+
+    The film itself is bottom-up (pixel row 0 has ndc_y = -1, matching the
+    reference's pixel indexing, PathTrace.cu:1431); flipping here means
+    image_io.write_bmp reproduces the reference's bottom-up BMP layout
+    byte-for-byte."""
+    film = render_film(sd, cam, cfg)
+    rad = np.asarray(film.mean())[::-1]
+    return np.asarray(tonemap.finalize(rad, np, cfg.tonemap))

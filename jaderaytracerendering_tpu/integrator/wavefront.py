@@ -1,0 +1,430 @@
+"""Wavefront path integrator.
+
+The reference's CUDA megakernel (pathTracing, PathTrace.cu:905-1416) is a
+per-thread divergent loop: four material branches (diffuse / mirror /
+SSS entry / SSS exit / direct refraction), nested Russian roulette, and
+replay stacks of (l_dir, indir_rate) pairs composited backward at path
+end (PathTrace.cu:1410-1415). On TPU that divergence becomes *masked
+lanes*: every bounce computes all branches for all lanes and selects, and
+the replay stacks become per-bounce scan outputs folded after the loop.
+
+Faithfulness notes (all constants/factors from the reference):
+
+- bounce 0 re-checks emissive and breaks with l_dir = Le; combined with
+  the driver's ``color = Le + pathTracing(...)`` (PathTrace.cu:1448-1451)
+  primary light hits count Le twice — replicated (CUDA parity; the GLSL
+  renderer does not do this);
+- a path whose refraction march escapes an open surface returns 0 for
+  the *whole* path, discarding its stack (PathTrace.cu:1231) — the
+  ``killed`` flag replicates this;
+- pdf-compensation factors: lobe select rate k = 2 for refractive
+  materials (PathTrace.cu:923), 1/SSS_RATE and 1/(1-SSS_RATE)
+  (PathTrace.cu:986, 1133), internal-reflection x5 / refract-out x1.25
+  (PathTrace.cu:1220, 1225), mirror k/(RR/pi) (PathTrace.cu:1391);
+- NEE geometric term uses the *unnormalized* light vector, giving the
+  reference's |cos cos'|/d^4 * area form (PathTrace.cu:959-961);
+- all random draws are site-keyed (core.rng), so the NumPy oracle in
+  cpuref/ consumes identical streams.
+
+One nearest-hit batch per bounce covers all NEE light rays, the HDR
+visibility ray, and the continuation ray ([M*(E+2)] rays); the direct-
+refraction march (sequential, <=32 traces) is compiled only when the
+scene contains a DIR_REFRACT material (static flag).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng, vecmath as vm
+from ..scene import envmap
+from . import sampling
+from .sampling import PI
+
+S = rng.DrawSites
+INF = 2147483647.0
+
+EMIT_BREAK_EPS = 1.4e-5   # PathTrace.cu:917
+EMIT_SKIP_EPS = 1.5e-4    # PathTrace.cu:1005
+
+
+def _any3(v, thresh, xp):
+    return (v > thresh).any(axis=-1)
+
+
+def _unit(v, xp):
+    return vm.normalize(v, xp, eps=1e-30)
+
+
+def _refract_march(alive_ref, tri, obj, normal, ray_src, out_dir, sd, cfg,
+                   xp, nearest_fn, u_fn):
+    """DIR_REFRACT internal march (PathTrace.cu:1180-1234).
+
+    Returns (exit_dir, rate, escaped, last_idx, src). Only compiled when
+    sd.has_refract.
+    """
+    miu = sd.mat_refract_index[obj][..., None]
+    r0 = sampling.schlick_r0(miu)
+    fres_i = sampling.fresnel_entry(r0, xp.abs(vm.dot(normal, out_dir, xp)))
+    rdir, _ = sampling.refract_dir(-out_dir, normal, 1.0 / miu, xp)
+    rate = xp.broadcast_to(1.0 - fres_i, ray_src.shape) + xp.zeros_like(ray_src)
+    src = ray_src
+    exclude = tri
+    escaped = xp.zeros(tri.shape, bool)
+    exited = xp.zeros(tri.shape, bool)
+    for i in range(cfg.max_refract_bounces):
+        live = alive_ref & ~exited & ~escaped
+        hit, idx, t = nearest_fn(src, _unit(rdir, xp), xp.where(live, exclude, -2))
+        escaped = escaped | (live & ~hit)
+        step_ok = live & hit
+        hp = src + _unit(rdir, xp) * t[..., None]
+        n_i = sd.tri_norm[idx]
+        new_rdir, full_reflex = sampling.refract_dir(_unit(rdir, xp), n_i, miu, xp)
+        absorb = sd.mat_refract_rate[sd.tri_obj[idx]] ** t[..., None]
+        rate = xp.where(step_ok[..., None], rate * absorb, rate)
+        src = xp.where(step_ok[..., None], hp, src)
+        exclude = xp.where(step_ok, idx.astype(exclude.dtype), exclude)
+        fres_o = sampling.fresnel_exit(r0, xp.abs(vm.dot(new_rdir, n_i, xp)))
+        u = u_fn(S.REFRACT_BASE + i)
+        reflect_pick = full_reflex | (u < cfg.internal_reflect_rate)
+        reflected = vm.reflect(new_rdir, n_i, xp)
+        # exit via refraction: x1.25 compensates the 0.8 continue pdf
+        rate = xp.where(
+            (step_ok & ~reflect_pick)[..., None], rate * (1.0 - fres_o) * 1.25, rate
+        )
+        # internal (non-total) reflection: x fresnel_o x5 (PathTrace.cu:1220)
+        rate = xp.where(
+            (step_ok & reflect_pick & ~full_reflex)[..., None], rate * fres_o * 5.0, rate
+        )
+        rdir = xp.where(step_ok[..., None],
+                        xp.where(reflect_pick[..., None], reflected, new_rdir), rdir)
+        exited = exited | (step_ok & ~reflect_pick)
+    return rdir, rate, escaped, exclude, src
+
+
+def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
+    """One masked megakernel bounce. Returns (state, (dir_b, rate_b))."""
+    active, ray_src, out_dir, hit_idx, killed = state
+    m = ray_src.shape[0]
+    e_cnt = sd.n_emit
+
+    u = lambda site, pid=pixel_id: rng.uniform(
+        xp, pid, sample_id, b + 1, site, cfg.seed
+    )
+
+    tri = xp.where(active, hit_idx, 0)
+    obj = sd.tri_obj[tri]
+    normal = sd.tri_norm[tri]
+    emissive = sd.mat_emissive[obj]
+    brdf = sd.mat_brdf[obj]
+    refract_mode = sd.mat_refract[obj]
+    reflex_mode = sd.mat_reflex[obj]
+
+    emit_break = active & _any3(emissive, EMIT_BREAK_EPS, xp)
+    alive = active & ~emit_break
+
+    # ---- branch selection (PathTrace.cu:923-925, 930-931) ----
+    k = xp.where(refract_mode != 0, 2.0, 1.0)[..., None]
+    u_sel = u(S.SELECT_REFRACT)
+    take_refract = alive & (u_sel < 0.5) & (refract_mode != 0)
+    is_sss = take_refract & (refract_mode == 1)
+    u_sss = u(S.SELECT_SSS)
+    sss_entry = is_sss & (u_sss < cfg.sss_rate)
+    sss_exit = is_sss & ~(u_sss < cfg.sss_rate)
+    is_dirref = take_refract & (refract_mode == 2)
+    is_diffuse = alive & ~take_refract & (reflex_mode == 0)
+    is_mirror = alive & ~take_refract & (reflex_mode == 1)
+
+    fr = brdf * (1.0 / PI)
+    fr_alb = sd.mat_refract_albedo[obj] * (1.0 / PI)
+
+    # ---- SSS exit point (PathTrace.cu:1029-1070) ----
+    if sd.has_sss:
+        exit_tri = sampling.area_cdf_pick(
+            u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
+            sd.seg_begin, sd.seg_end, sd.mapping, xp,
+        )
+        exit_tri = xp.where(sss_exit, exit_tri, 0)
+        exit_point = sampling.triangle_point(
+            sd.tri_p1[exit_tri], sd.tri_p2[exit_tri], sd.tri_p3[exit_tri],
+            u(S.EXIT_U), u(S.EXIT_V), xp,
+        )
+        exit_norm = sd.tri_norm[exit_tri]
+        inner_dir = exit_point - ray_src
+        inner_dist = vm.norm(inner_dir, xp)
+        sigma = sd.mat_refract_rate[sd.tri_obj[exit_tri]]
+        r0_sss = sampling.schlick_r0(sd.mat_refract_index[obj])[..., None]
+        fres_i = sampling.fresnel_entry(
+            r0_sss, xp.abs(vm.dot(normal, out_dir, xp))
+        )
+        bss = sampling.bssrdf(xp.maximum(inner_dist, 1e-12), sigma, xp) * fres_i
+        total_area = sd.obj_total_area[sd.tri_obj[exit_tri]][..., None]
+    else:
+        exit_tri = xp.zeros_like(tri)
+        exit_point = ray_src
+        exit_norm = normal
+        inner_dir = out_dir
+        bss = xp.zeros_like(ray_src)
+        r0_sss = xp.zeros((m, 1), ray_src.dtype)
+        total_area = xp.ones((m, 1), ray_src.dtype)
+
+    # NEE origin/normal/exclusion: exit lanes shade from the exit point
+    nee_src = xp.where(sss_exit[..., None], exit_point, ray_src)
+    nee_norm = xp.where(sss_exit[..., None], exit_norm, normal)
+    nee_excl = xp.where(sss_exit, exit_tri.astype(tri.dtype), tri)
+
+    # ---- direct-refraction march (static gate) ----
+    if sd.has_refract:
+        ref_dir, ref_rate, ref_escaped, ref_last, ref_src = _refract_march(
+            is_dirref, tri, obj, normal, ray_src, out_dir, sd, cfg, xp,
+            nearest_fn, u,
+        )
+    else:
+        ref_dir = out_dir
+        ref_rate = xp.zeros_like(ray_src)
+        ref_escaped = xp.zeros(m, bool)
+        ref_last = tri
+        ref_src = ray_src
+
+    # ---- build the combined shadow/continuation ray batch ----
+    # HDR NEE direction (PathTrace.cu:968-974 / 1111-1117)
+    hdir_raw = sampling.uniform_sphere(u(S.HDR_COS), u(S.HDR_PHI), xp)
+    hdir_entry = sampling.fold_same_hemisphere(hdir_raw, normal, out_dir, xp)
+    hdir_exit = sampling.fold_same_hemisphere(hdir_raw, exit_norm, inner_dir, xp)
+    hdir = xp.where(sss_exit[..., None], hdir_exit, hdir_entry)
+
+    # continuation direction
+    cdir_raw = sampling.uniform_sphere(u(S.CONT_COS), u(S.CONT_PHI), xp)
+    cdir_entry = sampling.fold_same_hemisphere(cdir_raw, normal, out_dir, xp)
+    cdir_exit = sampling.fold_opposite_hemisphere(cdir_raw, exit_norm, inner_dir, xp)
+    cdir_mirror = normal * (2.0 * vm.dot(out_dir, normal, xp)) - out_dir  # cu:1378
+    cdir = xp.where(sss_exit[..., None], cdir_exit, cdir_entry)
+    cdir = xp.where(is_mirror[..., None], cdir_mirror, cdir)
+    if sd.has_refract:
+        cdir = xp.where(is_dirref[..., None], ref_dir, cdir)
+    cont_src = xp.where(is_dirref[..., None], ref_src, nee_src)
+    cont_excl = xp.where(is_dirref, ref_last.astype(tri.dtype), nee_excl)
+
+    needs_nee = is_diffuse | sss_entry | sss_exit
+    if e_cnt > 0:
+        le_ids = sd.emit_idx  # [E]
+        lp1, lp2, lp3 = sd.tri_p1[le_ids], sd.tri_p2[le_ids], sd.tri_p3[le_ids]
+        l_norm = sd.tri_norm[le_ids]
+        l_emis = sd.mat_emissive[sd.tri_obj[le_ids]]
+        l_area = vm.triangle_area(lp1, lp2, lp3, xp)
+        sites_u = S.LIGHT_BASE + 2 * xp.arange(e_cnt, dtype=xp.uint32)
+        sid_b = (sample_id[:, None]
+                 if getattr(sample_id, "ndim", 0) == 1 else sample_id)
+        lu = rng.uniform(xp, pixel_id[:, None], sid_b, b + 1,
+                         sites_u[None, :], cfg.seed)
+        lv = rng.uniform(xp, pixel_id[:, None], sid_b, b + 1,
+                         sites_u[None, :] + 1, cfg.seed)
+        lpoint = sampling.triangle_point(
+            lp1[None], lp2[None], lp3[None], lu, lv, xp
+        )  # [M, E, 3]
+        ldir = lpoint - nee_src[:, None, :]
+        # entry-type hemisphere gate (PathTrace.cu:950-952); exit has none
+        same_hemi = (
+            vm.dot_s(ldir, nee_norm[:, None, :], xp)
+            * vm.dot_s(out_dir, normal, xp)[:, None] >= 0
+        )
+        l_gate = needs_nee[:, None] & (same_hemi | sss_exit[:, None])
+    else:
+        ldir = xp.zeros((m, 0, 3), ray_src.dtype)
+        l_gate = xp.zeros((m, 0), bool)
+
+    # one nearest-hit batch: [M*E light] + [M hdr] + [M continuation]
+    batch_o = xp.concatenate([
+        xp.broadcast_to(nee_src[:, None, :], (m, e_cnt, 3)).reshape(-1, 3),
+        nee_src, cont_src,
+    ])
+    batch_d = xp.concatenate([ldir.reshape(-1, 3), hdir, cdir])
+    batch_e = xp.concatenate([
+        xp.broadcast_to(nee_excl[:, None], (m, e_cnt)).reshape(-1),
+        nee_excl, cont_excl,
+    ])
+    bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e)
+    l_hit = bhit[: m * e_cnt].reshape(m, e_cnt)
+    l_idx = bidx[: m * e_cnt].reshape(m, e_cnt)
+    h_hit = bhit[m * e_cnt : m * e_cnt + m]
+    c_hit = bhit[m * e_cnt + m :]
+    c_idx = bidx[m * e_cnt + m :]
+    c_t = bt[m * e_cnt + m :]
+
+    # ---- NEE light contributions ----
+    l_dir = xp.zeros_like(ray_src)
+    if e_cnt > 0:
+        ok = l_gate & l_hit & (l_idx == le_ids[None, :])
+        d2 = vm.dot_s(ldir, ldir, xp)
+        geom = xp.abs(
+            vm.dot_s(nee_norm[:, None, :], ldir, xp)
+            * vm.dot_s(l_norm[None], ldir, xp)
+        ) / d2 / d2 * l_area[None]
+        f_entry = xp.where(sss_entry[:, None, None], fr_alb[:, None, :],
+                           fr[:, None, :])
+        contrib_entry = l_emis[None] * f_entry * geom[..., None]
+        if sd.has_sss:
+            fres_o = sampling.fresnel_exit(
+                r0_sss[:, None, :],
+                xp.abs(vm.dot(_unit(ldir, xp), exit_norm[:, None, :], xp)),
+            )
+            contrib_exit = (
+                l_emis[None] * fres_o * bss[:, None, :] * geom[..., None]
+                / PI * total_area[:, None, :]
+            )
+            contrib = xp.where(sss_exit[:, None, None], contrib_exit, contrib_entry)
+        else:
+            contrib = contrib_entry
+        l_dir = l_dir + xp.where(ok[..., None], contrib, 0.0).sum(axis=1)
+
+    # ---- NEE environment ----
+    sky = envmap.sample_env(sd.env_map, _unit(hdir, xp), xp, clamp=cfg.hdr_clamp)
+    cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
+    env_entry = sky * xp.where(sss_entry[..., None], fr_alb, fr) * cos_h * (2.0 * PI)
+    if sd.has_sss:
+        fres_oh = sampling.fresnel_exit(
+            r0_sss, xp.abs(vm.dot(hdir, exit_norm, xp))
+        )
+        env_exit = sky * fres_oh * bss * cos_h * 2.0  # cu:1130
+        env_c = xp.where(sss_exit[..., None], env_exit, env_entry)
+    else:
+        env_c = env_entry
+    l_dir = l_dir + xp.where((needs_nee & ~h_hit)[..., None], env_c, 0.0)
+
+    # ---- branch scale on l_dir (cu:986, 1133, 1322) ----
+    scale = xp.where(
+        sss_entry[..., None], k / cfg.sss_rate,
+        xp.where(sss_exit[..., None], k / (1.0 - cfg.sss_rate), k),
+    )
+    l_dir = l_dir * scale
+    l_dir = xp.where(needs_nee[..., None], l_dir, 0.0)
+
+    # ---- Russian roulette + continuation acceptance ----
+    u_rr = u(S.RR)
+    rr_ok = u_rr < cfg.rr_rate
+    c_obj_em = sd.mat_emissive[sd.tri_obj[xp.where(c_hit, c_idx, 0)]]
+    c_nonemit = ~_any3(c_obj_em, EMIT_SKIP_EPS, xp)
+    accept = alive & rr_ok & c_hit & xp.where(
+        is_mirror | is_dirref, True, c_nonemit
+    )
+    if sd.has_refract:
+        accept = accept & ~(is_dirref & ref_escaped)
+        killed = killed | (alive & is_dirref & ref_escaped)
+
+    cdir_u = _unit(cdir, xp)
+    cos_c = xp.abs(vm.dot(cdir_u, nee_norm, xp))
+    rate_diffuse = fr * cos_c / cfg.rr_rate * k  # cu:1344 (+ *k at push, cu:1352)
+    rate_entry = fr * cos_c / cfg.rr_rate * (k / cfg.sss_rate)  # cu:1008, 1016
+    if sd.has_sss:
+        fres_oc = sampling.fresnel_exit(r0_sss, xp.abs(vm.dot(cdir_u, exit_norm, xp)))
+        rate_exit = (
+            bss * fres_oc * xp.abs(vm.dot(cdir_u, exit_norm, xp))
+            * total_area * 2.0 / cfg.rr_rate * (k / (1.0 - cfg.sss_rate))
+        )  # cu:1160, 1166
+    else:
+        rate_exit = xp.zeros_like(ray_src)
+    rate_mirror = fr * (k / (cfg.rr_rate / PI))  # cu:1391
+    rate = xp.where(sss_entry[..., None], rate_entry, rate_diffuse)
+    if sd.has_sss:
+        rate = xp.where(sss_exit[..., None], rate_exit, rate)
+    rate = xp.where(is_mirror[..., None], rate_mirror, rate)
+    if sd.has_refract:
+        rate = xp.where(is_dirref[..., None], ref_rate * (k / cfg.rr_rate), rate)
+
+    # ---- break values ----
+    # mirror / dirref miss-to-sky terms (cu:1396, 1254)
+    sky_c = envmap.sample_env(sd.env_map, cdir_u, xp, clamp=cfg.hdr_clamp)
+    mirror_sky = sky_c * rate_mirror
+    dirref_sky = sky_c * ref_rate * (k / cfg.rr_rate)
+    break_val = l_dir  # diffuse / entry / exit keep their NEE sum
+    break_val = xp.where(
+        (is_mirror & rr_ok & ~c_hit)[..., None], mirror_sky,
+        xp.where(is_mirror[..., None], xp.zeros_like(l_dir), break_val),
+    )
+    if sd.has_refract:
+        break_val = xp.where(
+            (is_dirref & rr_ok & ~c_hit & ~ref_escaped)[..., None], dirref_sky,
+            xp.where(is_dirref[..., None], xp.zeros_like(l_dir), break_val),
+        )
+    else:
+        break_val = xp.where(is_dirref[..., None], xp.zeros_like(l_dir), break_val)
+    break_val = xp.where(emit_break[..., None], emissive, break_val)
+
+    # ---- emit (dir_b, rate_b) and advance state ----
+    dir_out = xp.where(
+        accept[..., None],
+        xp.where((is_mirror | is_dirref)[..., None], xp.zeros_like(l_dir), l_dir),
+        xp.where(active[..., None], break_val, 0.0),
+    )
+    rate_out = xp.where(
+        accept[..., None], rate,
+        xp.where(active[..., None], 0.0, 1.0),
+    )
+
+    new_src = cont_src + cdir_u * c_t[..., None]
+    ray_src = xp.where(accept[..., None], new_src, ray_src)
+    out_dir = xp.where(accept[..., None], -cdir_u, out_dir)
+    hit_idx = xp.where(accept, c_idx.astype(hit_idx.dtype), hit_idx)
+    active = accept
+
+    return (active, ray_src, out_dir, hit_idx, killed), (dir_out, rate_out)
+
+
+def composite(dir_ys, rate_ys, xp):
+    """Backward replay-stack fold (PathTrace.cu:1410-1415).
+
+    dir_ys/rate_ys: [D, M, 3]. Init from the top entry itself (for lanes
+    still alive at the depth cap the reference starts the fold from the
+    last pushed l_dir — which equals the top stack entry)."""
+    l = dir_ys[-1]
+    d = dir_ys.shape[0]
+    for i in range(d - 1, -1, -1):
+        l = l * rate_ys[i] + dir_ys[i]
+    return l
+
+
+def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
+    """Primary rays -> radiance [M, 3] (render_pixel body, cu:1426-1455)."""
+    m = origins.shape[0]
+    d_unit = _unit(dirs, xp)
+    ex0 = xp.full((m,), -1, xp.int32)
+    hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
+    sky0 = envmap.sample_env(sd.env_map, d_unit, xp, clamp=cfg.hdr_clamp)
+    le0 = sd.mat_emissive[sd.tri_obj[xp.where(hit0, idx0, 0)]]
+
+    state = (
+        hit0,
+        origins + d_unit * t0[..., None],
+        -d_unit,
+        xp.where(hit0, idx0, 0),
+        xp.zeros(m, bool),
+    )
+
+    if xp is jnp:
+        def body(st, b):
+            st, ys = bounce_step(st, b, pixel_id, sample_id, sd, cfg, jnp,
+                                 nearest_fn)
+            return st, ys
+
+        state, (dir_ys, rate_ys) = jax.lax.scan(
+            body, state, jnp.arange(cfg.max_depth, dtype=jnp.uint32)
+        )
+    else:
+        dir_list, rate_list = [], []
+        for b in range(cfg.max_depth):
+            state, (d_b, r_b) = bounce_step(
+                state, np.uint32(b), pixel_id, sample_id, sd, cfg, np, nearest_fn
+            )
+            dir_list.append(d_b)
+            rate_list.append(r_b)
+        dir_ys = np.stack(dir_list)
+        rate_ys = np.stack(rate_list)
+
+    li = composite(dir_ys, rate_ys, xp)
+    killed = state[4]
+    li = xp.where(killed[..., None], 0.0, li)
+    return xp.where(hit0[..., None], le0 + li, sky0)

@@ -3,15 +3,22 @@
 Multi-chip sharding tests run against a fake 8-device mesh
 (xla_force_host_platform_device_count) so the suite is deterministic and
 does not require a TPU pod (SURVEY §4 multi-chip test row).
-Must run before the first `import jax` anywhere in the test process.
+
+NOTE: the 'axon' TPU plugin in this environment ignores the JAX_PLATFORMS
+environment variable; only jax.config.update('jax_platforms', ...) after
+import actually selects the CPU backend. XLA_FLAGS must still be set
+before the first jax import.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
