@@ -1,0 +1,118 @@
+"""Benchmark: jade demo scene throughput in Mrays/sec/chip.
+
+Run on the target device (TPU by default under the driver). Prints ONE
+JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline
+is value / 100 (the BASELINE.json north star: >=100 Mrays/sec/chip).
+
+Rays counted are *useful* rays: primary rays plus every NEE shadow, HDR
+visibility and continuation ray of live path lanes (dead masked lanes
+are excluded), matching how the reference's megakernel spends its
+traversal work (SURVEY §3.3 hot loops).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--height", type=int, default=128)
+    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--tris", type=int, default=20_000)
+    ap.add_argument("--spp-batch", type=int, default=4)
+    ap.add_argument("--rays-per-launch", type=int, default=1 << 16)
+    ap.add_argument("--traversal", default="bvh")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--small", action="store_true", help="tiny smoke config")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.small:
+        args.width = args.height = 32
+        args.spp = 2
+        args.depth = 3
+        args.tris = 2_000
+
+    import jax.numpy as jnp
+
+    from jaderaytracerendering_tpu.core import camera as camera_mod
+    from jaderaytracerendering_tpu.integrator import render as R, wavefront
+    from jaderaytracerendering_tpu.models import demo
+    from jaderaytracerendering_tpu.scene.scene import assemble
+    from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+    ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
+    ds.camera.r = 2.2
+    ds.camera.up_angle = 10.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = RenderConfig(
+        width=args.width, height=args.height, spp=args.spp,
+        spp_batch=args.spp_batch, max_depth=args.depth,
+        rays_per_launch=args.rays_per_launch, traversal=args.traversal,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("sppb",))
+    def launch(sd_, eye_, rot_, pixel_ids_, sample_base_, sppb):
+        p = pixel_ids_.shape[0]
+        pid = jnp.tile(pixel_ids_, sppb)
+        sid = (jnp.repeat(jnp.arange(sppb, dtype=jnp.uint32), p)
+               + jnp.asarray(sample_base_, jnp.uint32))
+        o, d = camera_mod.generate_rays(
+            jnp, eye_, rot_, cfg.width, cfg.height, pid, sid, cfg.seed,
+            cfg.jitter,
+        )
+        nearest = R.make_nearest(sd_, cfg, jnp)
+        rad, n_rays = wavefront.trace_radiance(
+            o, d, pid, sid, sd_, cfg, jnp, nearest, with_stats=True
+        )
+        return rad.reshape(sppb, p, 3).sum(axis=0), n_rays
+
+    eye = jnp.asarray(ds.camera.eye, jnp.float32)
+    rot = jnp.asarray(ds.camera.camera_rotate, jnp.float32)
+    npix = cfg.width * cfg.height
+    sppb = cfg.spp_batch
+    chunk_px = max(1, min(npix, cfg.rays_per_launch // sppb))
+    n_chunks = -(-npix // chunk_px)
+    pixel_ids = np.arange(n_chunks * chunk_px, dtype=np.uint32) % npix
+
+    # warm up / compile
+    ids0 = jnp.asarray(pixel_ids[:chunk_px])
+    out, n0 = launch(sd, eye, rot, ids0, 0, sppb)
+    out.block_until_ready()
+
+    ray_counts = []
+    t0 = time.perf_counter()
+    done = 0
+    while done < cfg.spp:
+        step = min(sppb, cfg.spp - done)
+        for c in range(n_chunks):
+            ids = jnp.asarray(pixel_ids[c * chunk_px : (c + 1) * chunk_px])
+            out, n_rays = launch(sd, eye, rot, ids, done, step)
+            ray_counts.append(n_rays)  # stays on device; no sync here
+        done += step
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    total_rays = sum(int(n) for n in ray_counts)
+
+    mrays = total_rays / elapsed / 1e6
+    print(json.dumps({
+        "metric": "Mrays/sec/chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

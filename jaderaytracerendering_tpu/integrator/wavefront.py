@@ -387,8 +387,14 @@ def composite(dir_ys, rate_ys, xp):
     return l
 
 
-def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
-    """Primary rays -> radiance [M, 3] (render_pixel body, cu:1426-1455)."""
+def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
+                   with_stats: bool = False):
+    """Primary rays -> radiance [M, 3] (render_pixel body, cu:1426-1455).
+
+    with_stats=True also returns the number of *useful* rays traced
+    (primary + per-bounce shadow/continuation rays of live lanes) for
+    Mrays/sec accounting — masked dead lanes are not counted.
+    """
     m = origins.shape[0]
     d_unit = _unit(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
@@ -404,18 +410,25 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
         xp.zeros(m, bool),
     )
 
+    rays_per_lane = sd.n_emit + 2  # NEE lights + HDR + continuation
+
     if xp is jnp:
-        def body(st, b):
+        def body(carry, b):
+            st, nrays = carry
+            live = jnp.sum(st[0].astype(jnp.int64))
             st, ys = bounce_step(st, b, pixel_id, sample_id, sd, cfg, jnp,
                                  nearest_fn)
-            return st, ys
+            return (st, nrays + live * rays_per_lane), ys
 
-        state, (dir_ys, rate_ys) = jax.lax.scan(
-            body, state, jnp.arange(cfg.max_depth, dtype=jnp.uint32)
+        (state, n_rays), (dir_ys, rate_ys) = jax.lax.scan(
+            body, (state, jnp.int64(m)),
+            jnp.arange(cfg.max_depth, dtype=jnp.uint32),
         )
     else:
         dir_list, rate_list = [], []
+        n_rays = m
         for b in range(cfg.max_depth):
+            n_rays += int(state[0].sum()) * rays_per_lane
             state, (d_b, r_b) = bounce_step(
                 state, np.uint32(b), pixel_id, sample_id, sd, cfg, np, nearest_fn
             )
@@ -427,4 +440,7 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     li = composite(dir_ys, rate_ys, xp)
     killed = state[4]
     li = xp.where(killed[..., None], 0.0, li)
-    return xp.where(hit0[..., None], le0 + li, sky0)
+    radiance = xp.where(hit0[..., None], le0 + li, sky0)
+    if with_stats:
+        return radiance, n_rays
+    return radiance

@@ -1,0 +1,117 @@
+"""Multi-chip rendering over a jax.sharding Mesh.
+
+The reference has no multi-device capability (SURVEY §2.3): its
+parallelism is one CUDA grid on one GPU. The TPU build's scaling axes are
+
+- **film tiles (data parallel)**: pixel ids sharded over the mesh's
+  'tile' axis; each chip renders its film shard with the replicated scene
+  and no communication (the tile-accumulation analogue of DP);
+- **spp (sample parallel)**: every chip renders the *same* pixels at a
+  different sample offset and radiance sums are psum-reduced over ICI —
+  the renderer's analogue of sequence/batch-split axes.
+
+Both compose in one 2D mesh ('tile', 'spp'). Scene buffers are
+replicated; the film is sharded on 'tile'. DCN-spanning multi-slice would
+layer jax.distributed.initialize on top of the same code path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import camera as camera_mod
+from ..core.film import Film
+from ..integrator import render as render_mod, wavefront
+from ..utils.config import RenderConfig
+
+
+def make_mesh(shape: Optional[Tuple[int, ...]] = None,
+              axis_names: Sequence[str] = ("tile", "spp")) -> Mesh:
+    """Build a device mesh. Default: all devices on the 'tile' axis."""
+    devices = np.asarray(jax.devices())
+    if shape is None:
+        shape = (len(devices), 1)
+    shape = tuple(shape)
+    if len(shape) < len(axis_names):
+        shape = shape + (1,) * (len(axis_names) - len(shape))
+    return Mesh(devices[: int(np.prod(shape))].reshape(shape), axis_names)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "sppb", "mesh"), donate_argnums=()
+)
+def render_batch_sharded(sd, eye, cam_rot, pixel_ids, sample_base,
+                         cfg: RenderConfig, sppb: int, mesh: Mesh):
+    """Sharded render step: pixel_ids split over 'tile', samples over 'spp'.
+
+    Returns radiance sums [P, 3] sharded on 'tile' (each chip holds its
+    film shard; the 'spp' axis is psum-reduced over ICI).
+
+    pixel_ids length must be divisible by mesh.shape['tile'].
+    """
+    n_spp_shards = mesh.shape["spp"]
+
+    def shard_fn(sd_, eye_, rot_, ids_, base_):
+        spp_rank = jax.lax.axis_index("spp")
+        local_base = base_ + spp_rank.astype(jnp.uint32) * jnp.uint32(sppb)
+        p = ids_.shape[0]
+        pid = jnp.tile(ids_, sppb)
+        sid = (jnp.repeat(jnp.arange(sppb, dtype=jnp.uint32), p) + local_base)
+        o, d = camera_mod.generate_rays(
+            jnp, eye_, rot_, cfg.width, cfg.height, pid, sid, cfg.seed,
+            cfg.jitter,
+        )
+        nearest = render_mod.make_nearest(sd_, cfg, jnp)
+        rad = wavefront.trace_radiance(o, d, pid, sid, sd_, cfg, jnp, nearest)
+        out = rad.reshape(sppb, p, 3).sum(axis=0)
+        return jax.lax.psum(out, "spp")  # ICI reduction over the spp axis
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile"), P()),
+        out_specs=P("tile"),
+        check_vma=False,
+    )
+    out = fn(sd, eye, cam_rot, pixel_ids, jnp.asarray(sample_base, jnp.uint32))
+    del n_spp_shards
+    return out
+
+
+def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
+                            film: Optional[Film] = None) -> Film:
+    """Full-film distributed render: film tiles over 'tile', spp over 'spp'.
+
+    Accumulates cfg.spp samples (each pass adds mesh.shape['spp'] * sppb
+    samples per pixel)."""
+    npix = cfg.width * cfg.height
+    n_tile = mesh.shape["tile"]
+    n_spp = mesh.shape["spp"]
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+
+    pad = (-npix) % n_tile
+    pixel_ids = jnp.asarray(
+        np.concatenate([np.arange(npix), np.zeros(pad)]).astype(np.uint32)
+    )
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    rot = jnp.asarray(cam.camera_rotate, jnp.float32)
+
+    sppb = max(1, min(cfg.spp_batch, cfg.spp))
+    per_pass = sppb * n_spp
+    accum = film.accum.reshape(-1, 3)
+    done = 0
+    while done < cfg.spp:
+        out = render_batch_sharded(
+            sd, eye, rot, pixel_ids, film.count + done, cfg, sppb, mesh
+        )
+        accum = accum + out[:npix]
+        done += per_pass
+    return Film(accum=accum.reshape(cfg.height, cfg.width, 3),
+                count=film.count + done)
