@@ -28,8 +28,8 @@ def main() -> None:
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--tris", type=int, default=20_000)
     ap.add_argument("--spp-batch", type=int, default=4)
-    ap.add_argument("--rays-per-launch", type=int, default=1 << 16)
-    ap.add_argument("--traversal", default="bvh")
+    ap.add_argument("--rays-per-launch", type=int, default=1 << 14)
+    ap.add_argument("--traversal", default="sweep")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     args = ap.parse_args()
@@ -91,7 +91,7 @@ def main() -> None:
     out, n0 = launch(sd, eye, rot, ids0, 0, sppb)
     out.block_until_ready()
 
-    ray_counts = []
+    ray_counts, outs = [], []
     t0 = time.perf_counter()
     done = 0
     while done < cfg.spp:
@@ -99,11 +99,16 @@ def main() -> None:
         for c in range(n_chunks):
             ids = jnp.asarray(pixel_ids[c * chunk_px : (c + 1) * chunk_px])
             out, n_rays = launch(sd, eye, rot, ids, done, step)
-            ray_counts.append(n_rays)  # stays on device; no sync here
+            ray_counts.append(n_rays)
+            outs.append(out)
         done += step
-    out.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # NOTE: under the axon TPU backend block_until_ready() can return
+    # before execution finishes; forcing host transfers is the only
+    # reliable completion barrier, so it stays inside the timed window.
     total_rays = sum(int(n) for n in ray_counts)
+    checksum = float(sum(np.asarray(o).sum() for o in outs))
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     mrays = total_rays / elapsed / 1e6
     print(json.dumps({

@@ -1,0 +1,162 @@
+"""Progressive preview CLI — the PathTrace.cpp interactive app equivalent.
+
+Runs a progressive accumulation loop (one spp batch per frame, blended
+into the film like the reference's lastFrame mix, fshader_preview.fsh:402)
+and accepts the reference's keyboard commands, line-buffered:
+
+    up/down/left/right (or u/j/k/l)  orbit camera      (20 deg steps)
+    w/s/a/d                          move look-center  (0.4 steps)
+    h/n                              dolly in/out
+    c                                save current frame to BMP
+    r <spp>                          offline render at spp -> BMP
+    f                                dump render_args.txt and quit
+    q                                quit
+
+Any camera command resets the accumulation (frameCounter=0 semantics,
+PathTrace.cpp:743-800). ``--frames N`` runs N headless frames and exits
+(for scripted use and tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import common
+
+ROTATE_DELTA = 20.0  # deg per keypress (PathTrace.cpp:730 at 1s)
+MOVE_DELTA = 0.4
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="jade-preview")
+    common.add_common_args(ap)
+    ap.add_argument("--frames", type=int, default=0,
+                    help="headless: render N progressive frames then exit")
+    ap.add_argument("--out", default="RenderResultTpu.bmp")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="write a preview frame every N frames")
+    args = ap.parse_args(argv)
+    common.select_backend(args)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.camera import OrbitCamera
+    from ..core.film import Film
+    from ..integrator import render as R
+    from ..models import demo as demo_mod
+    from ..post import image_io, tonemap
+    from ..scene import serialization
+    from ..scene.scene import assemble, SceneObject
+    from ..utils.logging import stage
+
+    objects, env, cam = common.load_scene(args)
+    if not isinstance(cam, OrbitCamera):
+        stage("note: serialized camera loaded; orbit controls start from default")
+        cam = OrbitCamera()
+    cfg = common.config_from_args(args)
+    # preview defaults lean cheap (2-bounce, like fshader_preview.fsh:397)
+    if args.max_depth is None:
+        cfg = cfg.replace(max_depth=2)
+    if args.spp is None:
+        cfg = cfg.replace(spp=1, spp_batch=1)
+    sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
+    stage(f"scene: {sd.n_triangles} tris, {sd.n_nodes} nodes, {sd.n_emit} lights")
+
+    film = Film.create(cfg.height, cfg.width)
+    frame = 0
+    t_last = time.perf_counter()
+
+    def save(path, the_film, tmap):
+        rad = np.asarray(the_film.mean())[::-1]
+        image_io.save(path, np.asarray(tonemap.finalize(rad, np, tmap)))
+        stage(f"wrote {path}")
+
+    def step():
+        nonlocal film, frame, t_last
+        film = R.render_film(sd, cam, cfg.replace(spp=cfg.spp_batch), film=film)
+        frame += 1
+        now = time.perf_counter()
+        # the reference's per-frame FPS line (PathTrace.cpp:677-680)
+        print(f"FPS : {1.0 / max(now - t_last, 1e-9):.2f}    "
+              f"Iter time: {frame}", flush=True)
+        t_last = now
+
+    if args.frames > 0:
+        for _ in range(args.frames):
+            step()
+            if args.save_every and frame % args.save_every == 0:
+                save(args.out, film, cfg.tonemap)
+        save(args.out, film, cfg.tonemap)
+        return
+
+    stage("interactive preview: commands = arrows(u/j/k/l) wasd h n c r f q")
+    while True:
+        step()
+        # non-blocking-ish: read a pending command line if present
+        import select
+
+        if not select.select([sys.stdin], [], [], 0)[0]:
+            continue
+        line = sys.stdin.readline()
+        if not line:
+            continue
+        tok = line.strip().split()
+        if not tok:
+            continue
+        cmd = tok[0].lower()
+        moved = True
+        if cmd in ("q", "esc"):
+            break
+        elif cmd in ("up", "u"):
+            cam.orbit(d_up=ROTATE_DELTA)
+        elif cmd in ("down", "j"):
+            cam.orbit(d_up=-ROTATE_DELTA)
+        elif cmd in ("left", "k"):
+            cam.orbit(d_rotate=ROTATE_DELTA)
+        elif cmd in ("right", "l"):
+            cam.orbit(d_rotate=-ROTATE_DELTA)
+        elif cmd == "w":
+            cam.move_center(dy=MOVE_DELTA)
+        elif cmd == "s":
+            cam.move_center(dy=-MOVE_DELTA)
+        elif cmd == "a":
+            cam.move_center(dx=-MOVE_DELTA)
+        elif cmd == "d":
+            cam.move_center(dx=MOVE_DELTA)
+        elif cmd == "h":
+            cam.dolly(-MOVE_DELTA)
+        elif cmd == "n":
+            cam.dolly(MOVE_DELTA)
+        elif cmd == "c":
+            save(args.out, film, cfg.tonemap)
+            moved = False
+        elif cmd == "r":
+            spp = int(tok[1]) if len(tok) > 1 else 64
+            stage(f"offline render at {spp}spp...")
+            off = R.render_film(
+                sd, cam, cfg.replace(spp=spp, max_depth=16)
+            )
+            save(args.out, off, cfg.tonemap)
+            moved = False
+        elif cmd == "f":
+            spec = serialization.SceneSpec(
+                eye=cam.eye, camera_rotate=cam.camera_rotate,
+                objects=demo_mod.to_spec(
+                    demo_mod.DemoScene(objects=objects, env_map=env, camera=cam)
+                ).objects,
+            )
+            serialization.write_render_args("render_args.txt", spec)
+            stage("Saving Cuda Render Args")  # PathTrace.cpp:840
+            break
+        else:
+            stage(f"unknown command {cmd!r}")
+            moved = False
+        if moved:
+            film = film.reset()  # frameCounter = 0
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,23 @@ def invert(m: np.ndarray) -> np.ndarray:
 
 
 @dataclasses.dataclass
+class FixedCamera:
+    """A deserialized camera: explicit eye + rotation (render_args.txt
+    carries exactly these two; PathTrace.cu:1486-1493)."""
+
+    eye_point: np.ndarray
+    rotate: np.ndarray
+
+    @property
+    def eye(self) -> np.ndarray:
+        return np.asarray(self.eye_point, np.float64)
+
+    @property
+    def camera_rotate(self) -> np.ndarray:
+        return np.asarray(self.rotate, np.float64)
+
+
+@dataclasses.dataclass
 class OrbitCamera:
     """Mutable orbit-camera state (PathTrace.cpp:209-211, 671-673).
 

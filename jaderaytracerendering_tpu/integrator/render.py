@@ -43,6 +43,40 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         return lambda o, d, e: traverse.nearest_hit_bvh_jnp(
             o, d, e, sd, stack_size=cfg.bvh_stack_size
         )
+    if cfg.traversal == "gemm":
+        from ..ops import gemm_intersect
+
+        if xp is np:
+            return lambda o, d, e: gemm_intersect.nearest_hit_gemm_np(
+                o, d, e, sd.tri_gemm
+            )
+        return lambda o, d, e: gemm_intersect.nearest_hit_gemm_jnp(
+            o, d, e, sd.tri_gemm
+        )
+    if cfg.traversal == "clusters":
+        from ..ops import cluster_traverse
+
+        if xp is np:
+            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
+                o, d, e, sd
+            )
+        return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
+            o, d, e, sd
+        )
+    if cfg.traversal == "sweep":
+        if xp is np:  # the Pallas kernel is TPU-only; oracle uses clusters
+            from ..ops import cluster_traverse
+
+            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
+                o, d, e, sd
+            )
+        from ..ops.pallas import cluster_sweep
+
+        # CPU backend (tests / virtual meshes) runs the kernel interpreted
+        interp = jax.default_backend() == "cpu"
+        return lambda o, d, e: cluster_sweep.nearest_hit_sweep_jnp(
+            o, d, e, sd, interpret=interp
+        )
     raise ValueError(f"unknown traversal {cfg.traversal!r}")
 
 

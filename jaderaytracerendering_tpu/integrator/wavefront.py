@@ -60,17 +60,38 @@ def _unit(v, xp):
     return vm.normalize(v, xp, eps=1e-30)
 
 
-def _refract_march(alive_ref, tri, obj, normal, ray_src, out_dir, sd, cfg,
+def _tri_rows(sd, idx):
+    """One wide-row gather for all per-triangle data (scene.TRI_* slices)."""
+    return sd.tri_table[idx]
+
+
+def _mat_rows(sd, obj, xp):
+    """Per-object material rows via one-hot matmul (scene.MAT_* slices).
+
+    The object table is tiny (O rows), so a [M, O] @ [O, 16] product beats
+    a scattered gather by a wide margin on TPU."""
+    if xp is jnp:
+        onehot = (obj[:, None] == xp.arange(sd.n_objects)[None, :]).astype(
+            sd.mat_table.dtype
+        )
+        return jnp.dot(onehot, sd.mat_table, preferred_element_type=jnp.float32)
+    return sd.mat_table[obj]
+
+
+def _refract_march(alive_ref, tri, miu_in, normal, ray_src, out_dir, sd, cfg,
                    xp, nearest_fn, u_fn):
     """DIR_REFRACT internal march (PathTrace.cu:1180-1234).
 
     Returns (exit_dir, rate, escaped, last_idx, src). Only compiled when
     sd.has_refract.
     """
-    miu = sd.mat_refract_index[obj][..., None]
+    from ..scene import scene as scene_mod
+
+    miu = miu_in[..., None]
     r0 = sampling.schlick_r0(miu)
     fres_i = sampling.fresnel_entry(r0, xp.abs(vm.dot(normal, out_dir, xp)))
     rdir, _ = sampling.refract_dir(-out_dir, normal, 1.0 / miu, xp)
+    rdir = xp.where(alive_ref[..., None], rdir, 0.0)  # mask non-refract lanes
     rate = xp.broadcast_to(1.0 - fres_i, ray_src.shape) + xp.zeros_like(ray_src)
     src = ray_src
     exclude = tri
@@ -82,9 +103,11 @@ def _refract_march(alive_ref, tri, obj, normal, ray_src, out_dir, sd, cfg,
         escaped = escaped | (live & ~hit)
         step_ok = live & hit
         hp = src + _unit(rdir, xp) * t[..., None]
-        n_i = sd.tri_norm[idx]
+        irow = _tri_rows(sd, idx)
+        n_i = irow[:, scene_mod.TRI_NORM]
         new_rdir, full_reflex = sampling.refract_dir(_unit(rdir, xp), n_i, miu, xp)
-        absorb = sd.mat_refract_rate[sd.tri_obj[idx]] ** t[..., None]
+        rate_row = _mat_rows(sd, irow[:, scene_mod.TRI_OBJ].astype(xp.int32), xp)
+        absorb = rate_row[:, scene_mod.MAT_REFRACT_RATE] ** t[..., None]
         rate = xp.where(step_ok[..., None], rate * absorb, rate)
         src = xp.where(step_ok[..., None], hp, src)
         exclude = xp.where(step_ok, idx.astype(exclude.dtype), exclude)
@@ -116,13 +139,18 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
         xp, pid, sample_id, b + 1, site, cfg.seed
     )
 
+    from ..scene import scene as scene_mod
+
+    TRI, MAT = scene_mod, scene_mod
     tri = xp.where(active, hit_idx, 0)
-    obj = sd.tri_obj[tri]
-    normal = sd.tri_norm[tri]
-    emissive = sd.mat_emissive[obj]
-    brdf = sd.mat_brdf[obj]
-    refract_mode = sd.mat_refract[obj]
-    reflex_mode = sd.mat_reflex[obj]
+    trow = _tri_rows(sd, tri)
+    normal = trow[:, TRI.TRI_NORM]
+    obj = trow[:, TRI.TRI_OBJ].astype(xp.int32)
+    mrow = _mat_rows(sd, obj, xp)
+    emissive = mrow[:, MAT.MAT_EMISSIVE]
+    brdf = mrow[:, MAT.MAT_BRDF]
+    refract_mode = mrow[:, MAT.MAT_REFRACT_MODE].astype(xp.int32)
+    reflex_mode = mrow[:, MAT.MAT_REFLEX].astype(xp.int32)
 
     emit_break = active & _any3(emissive, EMIT_BREAK_EPS, xp)
     alive = active & ~emit_break
@@ -140,29 +168,35 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     is_mirror = alive & ~take_refract & (reflex_mode == 1)
 
     fr = brdf * (1.0 / PI)
-    fr_alb = sd.mat_refract_albedo[obj] * (1.0 / PI)
+    fr_alb = mrow[:, MAT.MAT_REFRACT_ALBEDO] * (1.0 / PI)
 
     # ---- SSS exit point (PathTrace.cu:1029-1070) ----
     if sd.has_sss:
+        import math
+
+        n_bisect = max(2, int(math.ceil(math.log2(max(sd.n_triangles, 2)))) + 1)
         exit_tri = sampling.area_cdf_pick(
             u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
-            sd.seg_begin, sd.seg_end, sd.mapping, xp,
+            sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
         )
         exit_tri = xp.where(sss_exit, exit_tri, 0)
+        erow = _tri_rows(sd, exit_tri)
         exit_point = sampling.triangle_point(
-            sd.tri_p1[exit_tri], sd.tri_p2[exit_tri], sd.tri_p3[exit_tri],
+            erow[:, TRI.TRI_P1], erow[:, TRI.TRI_P2], erow[:, TRI.TRI_P3],
             u(S.EXIT_U), u(S.EXIT_V), xp,
         )
-        exit_norm = sd.tri_norm[exit_tri]
+        exit_norm = erow[:, TRI.TRI_NORM]
+        exit_obj = erow[:, TRI.TRI_OBJ].astype(xp.int32)
+        emrow = _mat_rows(sd, exit_obj, xp)
         inner_dir = exit_point - ray_src
         inner_dist = vm.norm(inner_dir, xp)
-        sigma = sd.mat_refract_rate[sd.tri_obj[exit_tri]]
-        r0_sss = sampling.schlick_r0(sd.mat_refract_index[obj])[..., None]
+        sigma = emrow[:, MAT.MAT_REFRACT_RATE]
+        r0_sss = sampling.schlick_r0(mrow[:, MAT.MAT_REFRACT_INDEX])[..., None]
         fres_i = sampling.fresnel_entry(
             r0_sss, xp.abs(vm.dot(normal, out_dir, xp))
         )
         bss = sampling.bssrdf(xp.maximum(inner_dist, 1e-12), sigma, xp) * fres_i
-        total_area = sd.obj_total_area[sd.tri_obj[exit_tri]][..., None]
+        total_area = sd.obj_total_area[exit_obj][..., None]
     else:
         exit_tri = xp.zeros_like(tri)
         exit_point = ray_src
@@ -180,8 +214,8 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     # ---- direct-refraction march (static gate) ----
     if sd.has_refract:
         ref_dir, ref_rate, ref_escaped, ref_last, ref_src = _refract_march(
-            is_dirref, tri, obj, normal, ray_src, out_dir, sd, cfg, xp,
-            nearest_fn, u,
+            is_dirref, tri, mrow[:, MAT.MAT_REFRACT_INDEX], normal, ray_src,
+            out_dir, sd, cfg, xp, nearest_fn, u,
         )
     else:
         ref_dir = out_dir
@@ -237,12 +271,24 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
         ldir = xp.zeros((m, 0, 3), ray_src.dtype)
         l_gate = xp.zeros((m, 0), bool)
 
-    # one nearest-hit batch: [M*E light] + [M hdr] + [M continuation]
+    # one nearest-hit batch: [M*E light] + [M hdr] + [M continuation].
+    # Dead/masked lanes get zero directions: every intersector treats a
+    # zero-direction ray as a miss, so dead lanes cost no traversal work
+    # (their stale origins are o + d*INF garbage otherwise).
+    nee_gate3 = needs_nee[..., None]
+    alive3 = alive[..., None]
     batch_o = xp.concatenate([
-        xp.broadcast_to(nee_src[:, None, :], (m, e_cnt, 3)).reshape(-1, 3),
-        nee_src, cont_src,
+        xp.broadcast_to(
+            xp.where(nee_gate3, nee_src, 0.0)[:, None, :], (m, e_cnt, 3)
+        ).reshape(-1, 3),
+        xp.where(nee_gate3, nee_src, 0.0),
+        xp.where(alive3, cont_src, 0.0),
     ])
-    batch_d = xp.concatenate([ldir.reshape(-1, 3), hdir, cdir])
+    batch_d = xp.concatenate([
+        xp.where(nee_gate3[:, None, :], ldir, 0.0).reshape(-1, 3),
+        xp.where(nee_gate3, hdir, 0.0),
+        xp.where(alive3, cdir, 0.0),
+    ])
     batch_e = xp.concatenate([
         xp.broadcast_to(nee_excl[:, None], (m, e_cnt)).reshape(-1),
         nee_excl, cont_excl,
@@ -306,7 +352,10 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     # ---- Russian roulette + continuation acceptance ----
     u_rr = u(S.RR)
     rr_ok = u_rr < cfg.rr_rate
-    c_obj_em = sd.mat_emissive[sd.tri_obj[xp.where(c_hit, c_idx, 0)]]
+    crow = _tri_rows(sd, xp.where(c_hit, c_idx, 0))
+    c_obj_em = _mat_rows(
+        sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp
+    )[:, MAT.MAT_EMISSIVE]
     c_nonemit = ~_any3(c_obj_em, EMIT_SKIP_EPS, xp)
     accept = alive & rr_ok & c_hit & xp.where(
         is_mirror | is_dirref, True, c_nonemit
@@ -395,12 +444,17 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     (primary + per-bounce shadow/continuation rays of live lanes) for
     Mrays/sec accounting — masked dead lanes are not counted.
     """
+    from ..scene import scene as scene_mod
+
     m = origins.shape[0]
     d_unit = _unit(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
     hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
     sky0 = envmap.sample_env(sd.env_map, d_unit, xp, clamp=cfg.hdr_clamp)
-    le0 = sd.mat_emissive[sd.tri_obj[xp.where(hit0, idx0, 0)]]
+    row0 = _tri_rows(sd, xp.where(hit0, idx0, 0))
+    le0 = _mat_rows(
+        sd, row0[:, scene_mod.TRI_OBJ].astype(xp.int32), xp
+    )[:, scene_mod.MAT_EMISSIVE]
 
     state = (
         hit0,

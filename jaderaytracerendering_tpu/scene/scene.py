@@ -27,6 +27,7 @@ import numpy as np
 
 from ..accel import bvh as bvh_mod
 from ..core import vecmath
+from ..ops import gemm_intersect
 from . import material as material_mod
 from .objloader import MeshData
 
@@ -41,6 +42,23 @@ class SceneObject:
     source_path: Optional[str] = None
     transform: Optional[np.ndarray] = None
     normalize: bool = False
+
+
+# mat_table column offsets
+MAT_EMISSIVE = slice(0, 3)
+MAT_BRDF = slice(3, 6)
+MAT_REFLEX = 6
+MAT_REFRACT_MODE = 7
+MAT_REFRACT_RATE = slice(8, 11)
+MAT_REFRACT_ALBEDO = slice(11, 14)
+MAT_REFRACT_INDEX = 14
+
+# tri_table column offsets
+TRI_P1 = slice(0, 3)
+TRI_P2 = slice(3, 6)
+TRI_P3 = slice(6, 9)
+TRI_NORM = slice(9, 12)
+TRI_OBJ = 12
 
 
 @jax.tree_util.register_dataclass
@@ -76,6 +94,25 @@ class SceneData:
     bvh_index: jax.Array
     bvh_aa: jax.Array
     bvh_bb: jax.Array
+    # cluster decomposition (accel.clusters) for TPU cluster-queue traversal
+    cluster_aa: jax.Array         # [C, 3]
+    cluster_bb: jax.Array         # [C, 3]
+    cluster_begin: jax.Array      # [C] int32 (sorted-order triangle base)
+    cluster_count: jax.Array      # [C] int32
+    # packed per-cluster triangle blocks [C, 12, K]: component-planes
+    # (p1xyz, p2xyz, p3xyz, pad) x K triangles. K is the minor (lane)
+    # dimension so VMEM tiling stays dense; whole clusters are fetched as
+    # contiguous rows instead of per-triangle gathers
+    cluster_tris: jax.Array
+    # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
+    tri_gemm: jax.Array
+    # wide per-triangle table [T, 16] = (p1, p2, p3, norm, obj_as_f32, pad3):
+    # shading fetches one 64B row per lane instead of five scattered
+    # tiny-row gathers (TPU gathers want wide rows)
+    tri_table: jax.Array
+    # packed material table [O, 16] (see MAT_* offsets); fetched by
+    # one-hot matmul — no gather at all for per-object data
+    mat_table: jax.Array
     # environment
     env_map: jax.Array            # [He, We, 3] float32
 
@@ -89,6 +126,8 @@ class SceneData:
     has_refract: bool = dataclasses.field(metadata=dict(static=True))
     has_mirror: bool = dataclasses.field(metadata=dict(static=True))
     max_leaf_items: int = dataclasses.field(metadata=dict(static=True))
+    n_clusters: int = dataclasses.field(metadata=dict(static=True))
+    cluster_k: int = dataclasses.field(metadata=dict(static=True))
 
 
 def assemble(
@@ -97,6 +136,7 @@ def assemble(
     leaf_size: int = 8,
     bvh_method: str = "sah",
     bvh_backend: str = "auto",
+    max_cluster: int = 128,
     xp=jnp,
 ) -> SceneData:
     """Build device buffers from scene objects.
@@ -152,6 +192,33 @@ def assemble(
     refract_modes = np.array([m.refract_mode for m in mats], np.int32)
     reflex_modes = np.array([m.reflex_mode for m in mats], np.int32)
 
+    tri_table = np.zeros((t, 16), np.float32)
+    tri_table[:, TRI_P1] = p1
+    tri_table[:, TRI_P2] = p2
+    tri_table[:, TRI_P3] = p3
+    tri_table[:, TRI_NORM] = norm
+    tri_table[:, TRI_OBJ] = obj_idx.astype(np.float32)
+
+    mat_table = np.zeros((len(mats), 16), np.float32)
+    mat_table[:, MAT_EMISSIVE] = emissive_per_obj
+    mat_table[:, MAT_BRDF] = [m.brdf for m in mats]
+    mat_table[:, MAT_REFLEX] = reflex_modes
+    mat_table[:, MAT_REFRACT_MODE] = refract_modes
+    mat_table[:, MAT_REFRACT_RATE] = [m.refract_rate for m in mats]
+    mat_table[:, MAT_REFRACT_ALBEDO] = [m.refract_albedo for m in mats]
+    mat_table[:, MAT_REFRACT_INDEX] = [m.refract_index for m in mats]
+
+    from ..accel import clusters as clusters_mod
+
+    cl = clusters_mod.build_clusters(nodes, t, max_cluster=max_cluster)
+    cluster_k = int(cl.count.max()) if cl.n_clusters else 0
+    ctris = np.zeros((cl.n_clusters, 12, cluster_k), np.float32)
+    for ci, (b, c) in enumerate(zip(cl.begin, cl.count)):
+        ctris[ci, 0:3, :c] = p1[b : b + c].T
+        ctris[ci, 3:6, :c] = p2[b : b + c].T
+        ctris[ci, 6:9, :c] = p3[b : b + c].T
+        # padding slots keep degenerate (0,0,0) triangles: never hit
+
     to = (lambda a, dt=np.float32: xp.asarray(np.ascontiguousarray(a), dt))
     return SceneData(
         tri_p1=to(p1), tri_p2=to(p2), tri_p3=to(p3), tri_norm=to(norm),
@@ -175,6 +242,14 @@ def assemble(
         bvh_index=to(nodes.index, np.int32),
         bvh_aa=to(nodes.aa),
         bvh_bb=to(nodes.bb),
+        cluster_aa=to(cl.aa),
+        cluster_bb=to(cl.bb),
+        cluster_begin=to(cl.begin, np.int32),
+        cluster_count=to(cl.count, np.int32),
+        cluster_tris=to(ctris),
+        tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
+        tri_table=to(tri_table),
+        mat_table=to(mat_table),
         env_map=to(env_map),
         n_triangles=t,
         n_objects=len(objects),
@@ -185,4 +260,6 @@ def assemble(
         has_refract=bool((refract_modes == material_mod.DIR_REFRACT).any()),
         has_mirror=bool((reflex_modes == material_mod.MIRROR).any()),
         max_leaf_items=int(nodes.n.max()) if nodes.n_nodes else 0,
+        n_clusters=cl.n_clusters,
+        cluster_k=cluster_k,
     )

@@ -31,8 +31,10 @@ class RenderConfig:
     jitter: str = "cuda"              # 'cuda' | 'gl' film jitter convention
     tonemap: str = "aces"             # 'aces' (CUDA) | 'reinhard' (GL pass3)
     spp_batch: int = 4                # samples per wavefront launch
-    rays_per_launch: int = 1 << 20    # wavefront width cap (lanes)
-    traversal: str = "bvh"            # 'bvh' | 'brute'
+    rays_per_launch: int = 1 << 14    # wavefront lane cap (larger launches
+    #                                   crash the axon remote compiler)
+    traversal: str = "sweep"          # 'sweep' (pallas) | 'clusters' |
+    #                                   'gemm' | 'bvh' | 'brute'
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 64          # reference uses 128 (PathTrace.cu:34)
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
