@@ -63,8 +63,51 @@ def load_library():
         ctypes.POINTER(ctypes.c_float),   # out bb [cap*3]
         ctypes.c_int64,                   # cap
     ]
+    lib.jade_parse_obj_counts.restype = ctypes.c_int64
+    lib.jade_parse_obj_counts.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.jade_parse_obj.restype = ctypes.c_int64
+    lib.jade_parse_obj.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+    ]
     _lib = lib
     return _lib
+
+
+def parse_obj(path: str, compat_slash_faces: bool = False):
+    """Native OBJ parse -> (vertices [V,3] f64, faces [F,3] i64), or None
+    if the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    rc = lib.jade_parse_obj_counts(
+        path.encode(), ctypes.byref(nv), ctypes.byref(nf),
+        1 if compat_slash_faces else 0,
+    )
+    if rc < 0:
+        raise FileNotFoundError(path)
+    verts = np.empty((nv.value, 3), np.float64)
+    faces = np.empty((nf.value, 3), np.int64)
+    rc = lib.jade_parse_obj(
+        path.encode(),
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        faces.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        nv.value, nf.value, 1 if compat_slash_faces else 0,
+    )
+    if rc < 0:
+        raise RuntimeError(f"native OBJ parse failed ({rc}) for {path}")
+    return verts, faces
 
 
 def available() -> bool:

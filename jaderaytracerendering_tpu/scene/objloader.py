@@ -143,11 +143,25 @@ def read_obj(
     normalize: bool = False,
     compat_aabb_bug: bool = False,
     compat_slash_faces: bool = False,
+    backend: str = "auto",
 ) -> MeshData:
-    """readObj equivalent: file -> transformed flat-shaded triangle soup."""
-    with open(filepath, "r") as fh:
-        text = fh.read()
-    v, f = parse_obj_text(text, compat_slash_faces)
+    """readObj equivalent: file -> transformed flat-shaded triangle soup.
+
+    ``backend='auto'`` prefers the native C++ parser (accel.native) and
+    falls back to the Python parser; 'python'/'native' force one."""
+    v = f = None
+    if backend in ("auto", "native"):
+        from ..accel import native as native_mod
+
+        parsed = native_mod.parse_obj(filepath, compat_slash_faces)
+        if parsed is not None:
+            v, f = parsed
+        elif backend == "native":
+            raise RuntimeError("native OBJ parser requested but library missing")
+    if v is None:
+        with open(filepath, "r") as fh:
+            text = fh.read()
+        v, f = parse_obj_text(text, compat_slash_faces)
     return mesh_from_arrays(v, f, transform, normalize, compat_aabb_bug)
 
 

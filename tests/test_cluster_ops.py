@@ -1,0 +1,134 @@
+"""Cluster decomposition, cluster-queue traversal, GEMM intersector, and
+the Pallas sweep kernel (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jaderaytracerendering_tpu.accel import bvh, clusters
+from jaderaytracerendering_tpu.models import demo
+from jaderaytracerendering_tpu.ops import bruteforce, cluster_traverse, gemm_intersect
+from jaderaytracerendering_tpu.ops.pallas import cluster_sweep
+from jaderaytracerendering_tpu.scene.scene import assemble
+
+
+@pytest.fixture(scope="module")
+def scene():
+    ds = demo.jade_scene(n_buddha_tris=2_000, env_shape=(16, 32))
+    sdn = assemble(ds.objects, ds.env_map, xp=np)
+    sdj = jax.tree.map(jnp.asarray, sdn)
+    return sdn, sdj
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d, np.full(n, -1, np.int32)
+
+
+class TestClusters:
+    def test_partition_and_bounds(self, scene):
+        sdn, _ = scene
+        begin = np.asarray(sdn.cluster_begin)
+        count = np.asarray(sdn.cluster_count)
+        cover = np.zeros(sdn.n_triangles, np.int32)
+        for b, c in zip(begin, count):
+            cover[b : b + c] += 1
+        assert (cover == 1).all()
+        assert count.max() <= sdn.cluster_k
+
+    def test_blocks_match_triangles(self, scene):
+        sdn, _ = scene
+        ci = 0
+        b, c = int(sdn.cluster_begin[ci]), int(sdn.cluster_count[ci])
+        block = np.asarray(sdn.cluster_tris[ci])  # [12, K]
+        np.testing.assert_allclose(block[0:3, :c].T, sdn.tri_p1[b : b + c])
+        np.testing.assert_allclose(block[6:9, :c].T, sdn.tri_p3[b : b + c])
+        # padding slots degenerate
+        assert (block[:, c:] == 0).all()
+
+    def test_cluster_aabbs_contain_triangles(self, scene):
+        sdn, _ = scene
+        for ci in range(min(10, sdn.n_clusters)):
+            b, c = int(sdn.cluster_begin[ci]), int(sdn.cluster_count[ci])
+            pts = np.concatenate([sdn.tri_p1[b:b+c], sdn.tri_p2[b:b+c], sdn.tri_p3[b:b+c]])
+            assert (pts >= np.asarray(sdn.cluster_aa[ci]) - 1e-4).all()
+            assert (pts <= np.asarray(sdn.cluster_bb[ci]) + 1e-4).all()
+
+
+class TestTraversalEquivalence:
+    def test_cluster_np_vs_brute(self, scene):
+        sdn, _ = scene
+        o, d, ex = _rays(512, 1)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1, sdn.tri_p2, sdn.tri_p3)
+        hc, ic, tc = cluster_traverse.nearest_hit_clusters_np(o, d, ex, sdn)
+        np.testing.assert_array_equal(hb, hc)
+        np.testing.assert_array_equal(ib[hb], ic[hb])
+
+    def test_cluster_jnp_vs_np(self, scene):
+        sdn, sdj = scene
+        o, d, ex = _rays(256, 2)
+        h1, i1, t1 = cluster_traverse.nearest_hit_clusters_np(o, d, ex, sdn)
+        h2, i2, t2 = cluster_traverse.nearest_hit_clusters_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj
+        )
+        np.testing.assert_array_equal(h1, np.asarray(h2))
+        np.testing.assert_array_equal(i1, np.asarray(i2))
+
+    def test_gemm_np_vs_brute(self, scene):
+        sdn, _ = scene
+        o, d, ex = _rays(512, 3)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1, sdn.tri_p2, sdn.tri_p3)
+        hg, ig, tg = gemm_intersect.nearest_hit_gemm_np(o, d, ex, sdn.tri_gemm)
+        assert (hb == hg).mean() > 0.999  # f32 boundary flips only
+        both = hb & hg
+        assert (ib[both] == ig[both]).mean() > 0.999
+        np.testing.assert_allclose(tb[both], tg[both], rtol=5e-3, atol=1e-3)
+
+    def test_gemm_jnp_vs_np(self, scene):
+        sdn, sdj = scene
+        o, d, ex = _rays(256, 4)
+        h1, i1, t1 = gemm_intersect.nearest_hit_gemm_np(o, d, ex, sdn.tri_gemm)
+        h2, i2, t2 = gemm_intersect.nearest_hit_gemm_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj.tri_gemm
+        )
+        assert (h1 == np.asarray(h2)).mean() > 0.999
+
+    def test_sweep_interpret_vs_brute(self, scene):
+        sdn, sdj = scene
+        o, d, ex = _rays(300, 5)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1, sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep.nearest_hit_sweep_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        np.testing.assert_array_equal(ib[hb], isw[hb])
+        np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-4, atol=1e-5)
+
+    def test_sweep_exclusion(self, scene):
+        sdn, sdj = scene
+        tri = 5
+        c = (sdn.tri_p1[tri] + sdn.tri_p2[tri] + sdn.tri_p3[tri]) / 3
+        n = sdn.tri_norm[tri]
+        o = np.tile((c + n * 0.05)[None], (8, 1)).astype(np.float32)
+        d = np.tile((-n)[None], (8, 1)).astype(np.float32)
+        ex = np.full(8, tri, np.int32)
+        hs, isw, _ = map(np.asarray, cluster_sweep.nearest_hit_sweep_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert ((~hs) | (isw != tri)).all()
+
+    def test_zero_direction_rays_miss(self, scene):
+        sdn, sdj = scene
+        o = np.zeros((16, 3), np.float32)
+        d = np.zeros((16, 3), np.float32)
+        ex = np.full(16, -1, np.int32)
+        h, _, _ = cluster_traverse.nearest_hit_clusters_np(o, d, ex, sdn)
+        assert not h.any()
+        hs, _, _ = map(np.asarray, cluster_sweep.nearest_hit_sweep_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert not hs.any()
