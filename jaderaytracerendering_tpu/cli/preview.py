@@ -57,9 +57,9 @@ def main(argv=None) -> None:
         stage("note: serialized camera loaded; orbit controls start from default")
         cam = OrbitCamera()
     cfg = common.config_from_args(args)
-    # preview defaults lean cheap (2-bounce, like fshader_preview.fsh:397)
-    if args.max_depth is None:
-        cfg = cfg.replace(max_depth=2)
+    # preview frames use the cheap 2-bounce no-NEE integrator
+    # (fshader_preview.fsh:332-375); 'r' offline renders use the full one
+    cfg = cfg.replace(integrator="preview")
     if args.spp is None:
         cfg = cfg.replace(spp=1, spp_batch=1)
     sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
@@ -137,7 +137,7 @@ def main(argv=None) -> None:
             spp = int(tok[1]) if len(tok) > 1 else 64
             stage(f"offline render at {spp}spp...")
             off = R.render_film(
-                sd, cam, cfg.replace(spp=spp, max_depth=16)
+                sd, cam, cfg.replace(spp=spp, max_depth=16, integrator="full")
             )
             save(args.out, off, cfg.tonemap)
             moved = False

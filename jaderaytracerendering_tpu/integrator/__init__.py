@@ -1,1 +1,1 @@
-from . import render, sampling, wavefront  # noqa: F401
+from . import preview, render, sampling, wavefront  # noqa: F401

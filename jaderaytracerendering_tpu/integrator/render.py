@@ -96,7 +96,15 @@ def render_batch(sd, eye, cam_rot, pixel_ids, sample_base, cfg: RenderConfig,
         jnp, eye, cam_rot, cfg.width, cfg.height, pid, sid, cfg.seed, cfg.jitter
     )
     nearest = make_nearest(sd, cfg, jnp)
-    rad = wavefront.trace_radiance(o, d, pid, sid, sd, cfg, jnp, nearest)
+    if cfg.integrator == "preview":
+        from . import preview as preview_mod
+
+        rad = preview_mod.trace_preview(
+            o, d, pid, sid, sd, cfg, jnp, nearest,
+            max_bounce=cfg.preview_bounces,
+        )
+    else:
+        rad = wavefront.trace_radiance(o, d, pid, sid, sd, cfg, jnp, nearest)
     return rad.reshape(sppb, p, 3).sum(axis=0)
 
 

@@ -1,1 +1,1 @@
-from . import cluster_sweep  # noqa: F401
+from . import cluster_sweep, postfx  # noqa: F401

@@ -35,6 +35,8 @@ class RenderConfig:
     #                                   crash the axon remote compiler)
     traversal: str = "sweep"          # 'sweep' (pallas) | 'clusters' |
     #                                   'gemm' | 'bvh' | 'brute'
+    integrator: str = "full"          # 'full' (NEE megakernel) | 'preview'
+    preview_bounces: int = 2          # fshader_preview.fsh:397
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 64          # reference uses 128 (PathTrace.cu:34)
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
