@@ -86,10 +86,12 @@ def main() -> None:
     n_chunks = -(-npix // chunk_px)
     pixel_ids = np.arange(n_chunks * chunk_px, dtype=np.uint32) % npix
 
-    # warm up / compile
+    # warm up / compile; int() forces completion (axon block_until_ready
+    # returns early, so a host transfer is the only real barrier)
     ids0 = jnp.asarray(pixel_ids[:chunk_px])
     out, n0 = launch(sd, eye, rot, ids0, 0, sppb)
-    out.block_until_ready()
+    int(n0)
+    float(np.asarray(out).sum())
 
     ray_counts, outs = [], []
     t0 = time.perf_counter()

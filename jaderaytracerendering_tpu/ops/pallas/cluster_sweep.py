@@ -11,11 +11,14 @@ not avoid (each visit materialized [M, K, 12] blocks plus test temps).
 Design notes (pallas_guide.md):
 - scalar prefetch (PrefetchScalarGridSpec) drives dynamic VMEM slicing,
   the standard block-sparse pattern;
-- cluster blocks [C, K, 12] live whole in VMEM (1.4 MB at 20k tris,
+- SMEM is ~1 MB, so the per-tile candidate list is capped at L_MAX
+  entries; the rare tile whose union exceeds the cap falls back to a
+  full sweep over all C clusters (still exact, just denser);
+- cluster blocks [C, 12, K] live whole in VMEM (1.4 MB at 20k tris,
   ~7 MB at 150k) — the scene fits on-chip, the reference's GPU texture
   fetches become VMEM reads;
-- per-(tile, cluster) compute is dense [TM, K] VPU work; inactive
-  clusters are skipped with @pl.when on the prefetched id.
+- per-(tile, cluster) compute is dense [TM, K] VPU work with dynamic
+  trip counts (static bounds would be fully unrolled by Mosaic).
 
 Exactness: a tile visits every cluster whose AABB any of its rays enters,
 so results equal brute force (equivalence-tested); there is no ordering /
@@ -35,13 +38,14 @@ from ...core import vecmath as vm
 from .. import intersect
 
 INF = intersect.INF
+L_MAX = 64  # SMEM candidate-list cap per tile
 
 
 def _sweep_kernel(ids_ref, counts_ref, begins_ref, o_ref, d_ref, ex_ref,
-                  blocks_ref, bt_ref, bi_ref, k: int):
+                  blocks_ref, bt_ref, bi_ref, k: int, n_clusters: int):
     tile = pl.program_id(0)
     tm = o_ref.shape[0]
-    n_active = counts_ref[tile]  # dynamic trip count: no loop unrolling
+    n_active = counts_ref[tile]
 
     bt_ref[:] = jnp.full((tm, 1), INF, jnp.float32)
     bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
@@ -50,51 +54,62 @@ def _sweep_kernel(ids_ref, counts_ref, begins_ref, o_ref, d_ref, ex_ref,
     dx, dy, dz = d_ref[:, 0:1], d_ref[:, 1:2], d_ref[:, 2:3]
     ex = ex_ref[:, 0:1]
 
-    def visit(l, carry):
-        cid = ids_ref[tile, l]
+    def test_cluster(cid):
+        block = blocks_ref[pl.ds(cid, 1)][0]  # [12, K] dynamic slice
+        p1x, p1y, p1z = block[0:1, :], block[1:2, :], block[2:3, :]
+        p2x, p2y, p2z = block[3:4, :], block[4:5, :], block[5:6, :]
+        p3x, p3y, p3z = block[6:7, :], block[7:8, :], block[8:9, :]
+        # Moller-Trumbore, scalarized (all [TM, K])
+        e1x, e1y, e1z = p2x - p1x, p2y - p1y, p2z - p1z
+        e2x, e2y, e2z = p3x - p1x, p3y - p1y, p3z - p1z
+        hx = dy * e2z - dz * e2y
+        hy = dz * e2x - dx * e2z
+        hz = dx * e2y - dy * e2x
+        a = e1x * hx + e1y * hy + e1z * hz
+        f = 1.0 / a
+        sx, sy, sz = ox - p1x, oy - p1y, oz - p1z
+        u = f * (sx * hx + sy * hy + sz * hz)
+        qx = sy * e1z - sz * e1y
+        qy = sz * e1x - sx * e1z
+        qz = sx * e1y - sy * e1x
+        v = f * (dx * qx + dy * qy + dz * qz)
+        t = f * (e2x * qx + e2y * qy + e2z * qz)
+        ids_k = begins_ref[cid] + jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+        ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
+              & (ids_k != ex))
+        t = jnp.where(ok, t, INF)
+        tmin = jnp.min(t, axis=1, keepdims=True)          # [TM, 1]
+        sel = jnp.where(t <= tmin, ids_k, jnp.int32(2**30))
+        imin = jnp.min(sel, axis=1, keepdims=True)
+        better = tmin < bt_ref[:]
+        bt_ref[:] = jnp.where(better, tmin, bt_ref[:])
+        bi_ref[:] = jnp.where(better, imin, bi_ref[:])
 
-        @pl.when(cid >= 0)
-        def _():
-            block = blocks_ref[pl.ds(cid, 1)][0]  # [12, K] dynamic slice
-            p1x, p1y, p1z = block[0:1, :], block[1:2, :], block[2:3, :]
-            p2x, p2y, p2z = block[3:4, :], block[4:5, :], block[5:6, :]
-            p3x, p3y, p3z = block[6:7, :], block[7:8, :], block[8:9, :]
-            # Moller-Trumbore, scalarized (all [TM, K])
-            e1x, e1y, e1z = p2x - p1x, p2y - p1y, p2z - p1z
-            e2x, e2y, e2z = p3x - p1x, p3y - p1y, p3z - p1z
-            hx = dy * e2z - dz * e2y
-            hy = dz * e2x - dx * e2z
-            hz = dx * e2y - dy * e2x
-            a = e1x * hx + e1y * hy + e1z * hz
-            f = 1.0 / a
-            sx, sy, sz = ox - p1x, oy - p1y, oz - p1z
-            u = f * (sx * hx + sy * hy + sz * hz)
-            qx = sy * e1z - sz * e1y
-            qy = sz * e1x - sx * e1z
-            qz = sx * e1y - sy * e1x
-            v = f * (dx * qx + dy * qy + dz * qz)
-            t = f * (e2x * qx + e2y * qy + e2z * qz)
-            ids_k = begins_ref[cid] + jax.lax.broadcasted_iota(
-                jnp.int32, (1, k), 1
-            )
-            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 0.0)
-                  & (ids_k != ex))
-            t = jnp.where(ok, t, INF)
-            tmin = jnp.min(t, axis=1, keepdims=True)          # [TM, 1]
-            sel = jnp.where(t <= tmin, ids_k, jnp.int32(2**30))
-            imin = jnp.min(sel, axis=1, keepdims=True)
-            better = tmin < bt_ref[:]
-            bt_ref[:] = jnp.where(better, tmin, bt_ref[:])
-            bi_ref[:] = jnp.where(better, imin, bi_ref[:])
+    @pl.when(n_active <= L_MAX)
+    def _listed():
+        def visit(l, carry):
+            cid = ids_ref[tile, l]
 
-        return carry
+            @pl.when(cid >= 0)
+            def _():
+                test_cluster(cid)
 
-    jax.lax.fori_loop(0, n_active, visit, 0)
+            return carry
+
+        jax.lax.fori_loop(0, n_active, visit, 0)
+
+    @pl.when(n_active > L_MAX)
+    def _overflow():  # candidate list truncated: sweep every cluster
+        def visit(c, carry):
+            test_cluster(c)
+            return carry
+
+        jax.lax.fori_loop(0, n_clusters, visit, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=256,
-                          interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "sort_rays"))
+def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
+                          interpret=False, sort_rays=False):
     """Pallas cluster-sweep nearest hit. Same contract as the other
     intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""
     m = origins.shape[0]
@@ -102,11 +117,29 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=256,
     k = sd.cluster_k
     dirs_u = vm.normalize(dirs, jnp)
 
+    perm = None
+    if sort_rays:
+        # coherence sort: tiles get rays with similar origin cell +
+        # direction octant, shrinking each tile's active-cluster union.
+        lo = jnp.min(sd.cluster_aa, axis=0)
+        hi = jnp.max(sd.cluster_bb, axis=0)
+        cell = jnp.clip(((origins - lo) / (hi - lo + 1e-9) * 8).astype(jnp.int32), 0, 7)
+        octant = ((dirs_u[:, 0] > 0).astype(jnp.int32)
+                  + 2 * (dirs_u[:, 1] > 0).astype(jnp.int32)
+                  + 4 * (dirs_u[:, 2] > 0).astype(jnp.int32))
+        key = ((cell[:, 0] * 8 + cell[:, 1]) * 8 + cell[:, 2]) * 8 + octant
+        dead = jnp.sum(jnp.abs(dirs_u), axis=-1) <= 0
+        key = jnp.where(dead, jnp.int32(1 << 30), key)
+        perm = jnp.argsort(key)
+        origins = origins[perm]
+        dirs_u = dirs_u[perm]
+        exclude = exclude[perm]
+
     pad_m = (-m) % tile_m
     if pad_m:
         zpad3 = jnp.zeros((pad_m, 3), origins.dtype)
         origins = jnp.concatenate([origins, zpad3])
-        dirs_u = jnp.concatenate([dirs_u, jnp.ones((pad_m, 3), dirs_u.dtype)])
+        dirs_u = jnp.concatenate([dirs_u, jnp.zeros((pad_m, 3), dirs_u.dtype)])
         exclude = jnp.concatenate([exclude, jnp.full((pad_m,), -1, exclude.dtype)])
     mp = m + pad_m
     n_tiles = mp // tile_m
@@ -120,13 +153,14 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=256,
     ray_ok = jnp.sum(jnp.abs(dirs_u), axis=-1) > 0
     hits_box = (dist > 0) & ray_ok[:, None]
     active = hits_box.reshape(n_tiles, tile_m, c).any(axis=1)  # [tiles, C]
+    counts = active.sum(axis=1).astype(jnp.int32)  # [tiles]
+    l_list = min(c, L_MAX)
     order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
     ids = jnp.where(
         jnp.take_along_axis(active, order, axis=1), order, -1
-    )  # [tiles, C] active cluster ids first, -1 padding
-    counts = active.sum(axis=1).astype(jnp.int32)  # [tiles]
+    )[:, :l_list]  # [tiles, <=L_MAX] active ids first, -1 padding
 
-    kern = functools.partial(_sweep_kernel, k=k)
+    kern = functools.partial(_sweep_kernel, k=k, n_clusters=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_tiles,),
@@ -158,4 +192,8 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=256,
       sd.cluster_tris)
     bt = bt[:m, 0]
     bi = bi[:m, 0]
+    if perm is not None:  # scatter results back to caller order
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(m))
+        bt = bt[inv]
+        bi = bi[inv]
     return bt < INF, jnp.where(bt < INF, bi, 0), bt
