@@ -84,6 +84,20 @@ def render_batch_sharded(sd, eye, cam_rot, pixel_ids, sample_base,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def gather_film(tile_shards, mesh: Mesh):
+    """Assemble the full film from tile shards with an explicit
+    all_gather over ICI (the pass2-style tile accumulation step when a
+    replicated copy is needed, e.g. before host-side post or saving)."""
+
+    def fn(local):
+        return jax.lax.all_gather(local, "tile", axis=0, tiled=True)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=P("tile"), out_specs=P(), check_vma=False
+    )(tile_shards)
+
+
 def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
                             film: Optional[Film] = None) -> Film:
     """Full-film distributed render: film tiles over 'tile', spp over 'spp'.

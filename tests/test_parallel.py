@@ -79,3 +79,19 @@ def test_progressive_accumulation_distributed(scene):
     np.testing.assert_allclose(
         np.asarray(f2.mean()), np.asarray(f8.mean()), rtol=1e-4, atol=1e-5
     )
+
+
+def test_gather_film_all_gather(scene):
+    ds, sd = scene
+    cfg = _cfg()
+    mesh = sharding.make_mesh((8, 1))
+    pixel_ids = jnp.arange(64, dtype=jnp.uint32)
+    out = sharding.render_batch_sharded(
+        sd, jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32),
+        pixel_ids, 0, cfg, 1, mesh,
+    )
+    full = sharding.gather_film(out, mesh)
+    # replicated result equals the sharded values
+    np.testing.assert_allclose(np.asarray(full), np.asarray(out), rtol=1e-6)
+    assert len(full.sharding.device_set) == 8  # replicated on all
