@@ -22,14 +22,15 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--width", type=int, default=128)
-    ap.add_argument("--height", type=int, default=128)
-    ap.add_argument("--spp", type=int, default=8)
+    ap.add_argument("--width", type=int, default=256)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--tris", type=int, default=20_000)
     ap.add_argument("--spp-batch", type=int, default=4)
     ap.add_argument("--rays-per-launch", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
+    ap.add_argument("--engine", default="pool", choices=["pool", "scan"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     args = ap.parse_args()
@@ -60,7 +61,37 @@ def main() -> None:
         width=args.width, height=args.height, spp=args.spp,
         spp_batch=args.spp_batch, max_depth=args.depth,
         rays_per_launch=args.rays_per_launch, traversal=args.traversal,
+        engine=args.engine,
     )
+
+    if args.engine == "pool":
+        from jaderaytracerendering_tpu.integrator import pool
+
+        eye = jnp.asarray(ds.camera.eye, jnp.float32)
+        rot = jnp.asarray(ds.camera.camera_rotate, jnp.float32)
+        npix = cfg.width * cfg.height
+        pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
+        # warm up / compile (host transfer is the only reliable barrier)
+        accum, done, n_rays = pool._pool_render(
+            sd, eye, rot, npix * cfg.spp, cfg, pool_m, 0
+        )
+        int(done)
+        t0 = time.perf_counter()
+        accum, done, n_rays = pool._pool_render(
+            sd, eye, rot, npix * cfg.spp, cfg, pool_m, cfg.spp
+        )
+        total_rays = int(n_rays)
+        checksum = float(np.asarray(accum).sum())
+        elapsed = time.perf_counter() - t0
+        assert np.isfinite(checksum) and int(done) == npix * cfg.spp
+        mrays = total_rays / elapsed / 1e6
+        print(json.dumps({
+            "metric": "Mrays/sec/chip",
+            "value": round(mrays, 3),
+            "unit": "Mrays/s",
+            "vs_baseline": round(mrays / 100.0, 4),
+        }))
+        return
 
     @functools.partial(jax.jit, static_argnames=("sppb",))
     def launch(sd_, eye_, rot_, pixel_ids_, sample_base_, sppb):

@@ -1,0 +1,174 @@
+"""Persistent ray-pool renderer: wavefront with respawn compaction.
+
+The scan-based integrator (wavefront.trace_radiance) keeps all M lanes
+through every bounce even after their paths terminate; Russian roulette
+plus sky misses leave most lanes dead past bounce 2. This engine keeps a
+*pool* of M lanes fully utilized: each loop iteration advances every live
+path one bounce, terminated paths scatter-add their radiance into the
+film and the freed lanes respawn on the next (pixel, sample) from the
+work queue. This is the classic production wavefront design the
+reference's megakernel occupancy model approximates with SIMT residency.
+
+Path math is identical to the scan engine — the same bounce_step with the
+same site-keyed draws, now with per-lane bounce counters — so a pool
+render of (pixels x spp) equals the scan render of the same samples to
+float precision (tested). The replay-stack composite
+(PathTrace.cu:1410-1415) becomes forward throughput accumulation:
+
+    L += T * dir_b ; T *= rate_b
+
+with the reference's depth-cap quirk (the fold seeds from the last pushed
+l_dir) reproduced as an extra ``T * dir`` term when a lane hits
+max_depth, and the refraction-escape kill zeroing the path's L.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import camera as camera_mod
+from ..core.film import Film
+from ..scene import envmap, scene as scene_mod
+from ..utils.config import RenderConfig
+from . import render as render_mod, wavefront
+from .wavefront import _mat_rows, _tri_rows, _unit
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
+def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
+                 pool_m: int, sample_base, max_iters: int = 1_000_000):
+    npix = cfg.width * cfg.height
+    nearest = render_mod.make_nearest(sd, cfg, jnp)
+    m = pool_m
+
+    def spawn(fresh, next_sample, pix, smp):
+        """Assign queue samples to fresh lanes -> updated ids + masks."""
+        k = jnp.cumsum(fresh.astype(jnp.int32))
+        sample_index = next_sample + (k - 1).astype(jnp.int64)
+        got = fresh & (sample_index < total_samples)
+        pix = jnp.where(got, (sample_index % npix).astype(jnp.uint32), pix)
+        smp = jnp.where(
+            got,
+            (sample_index // npix).astype(jnp.uint32)
+            + jnp.asarray(sample_base, jnp.uint32),
+            smp,
+        )
+        consumed = jnp.minimum(
+            jnp.asarray(k[-1], jnp.int64), total_samples - next_sample
+        )
+        return got, next_sample + consumed, pix, smp
+
+    def primary(pix, smp, mask):
+        o, d = camera_mod.generate_rays(
+            jnp, eye, cam_rot, cfg.width, cfg.height, pix, smp, cfg.seed,
+            cfg.jitter,
+        )
+        d = jnp.where(mask[:, None], d, 0.0)
+        hit, idx, t = nearest(o, d, jnp.full((m,), -1, jnp.int32))
+        return o, d, hit, idx, t
+
+    def body(carry):
+        (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, pix, smp,
+         next_sample, done, accum, it, n_rays0) = carry
+
+        # ---- advance live paths one bounce ----
+        st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
+        st2, (dir_b, rate_b) = wavefront.bounce_step(
+            st, b, pix, smp, sd, cfg, jnp, nearest
+        )
+        accept, ray_src2, out_dir2, hit_idx2, killed = st2
+        l_acc = l_acc + t_put * dir_b
+        t_put = t_put * rate_b
+        b2 = jnp.where(active, b + 1, b)
+        depth_capped = accept & (b2 >= cfg.max_depth)
+        # reference fold seeds from the last pushed l_dir at the cap
+        l_acc = l_acc + jnp.where(depth_capped[:, None], t_put * dir_b, 0.0)
+        finished = (active & ~accept) | depth_capped
+        still = accept & ~depth_capped
+
+        # ---- bank finished paths ----
+        l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
+        contrib = jnp.where(finished[:, None], l_final, 0.0)
+        accum = accum.at[jnp.where(finished, pix, npix)].add(
+            contrib, mode="drop"
+        )
+        done = done + jnp.sum(finished.astype(jnp.int64))
+
+        # ---- respawn freed lanes on fresh samples ----
+        fresh = ~still & ~active | finished  # idle or just finished
+        got, next_sample, pix, smp = spawn(fresh, next_sample, pix, smp)
+        n_rays = n_rays0 + jnp.sum(active.astype(jnp.int64)) * (sd.n_emit + 2)
+        n_rays = n_rays + jnp.sum(got.astype(jnp.int64))
+        o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
+        sky = envmap.sample_env(sd.env_map, _unit(d, jnp), jnp,
+                                clamp=cfg.hdr_clamp)
+        row0 = _tri_rows(sd, jnp.where(p_hit, p_idx, 0))
+        p_le = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(jnp.int32),
+                         jnp)[:, scene_mod.MAT_EMISSIVE]
+        # sky misses complete immediately
+        miss = got & ~p_hit
+        accum = accum.at[jnp.where(miss, pix, npix)].add(
+            jnp.where(miss[:, None], sky, 0.0), mode="drop"
+        )
+        done = done + jnp.sum(miss.astype(jnp.int64))
+        started = got & p_hit
+
+        active = still | started
+        ray_src = jnp.where(started[:, None], o + _unit(d, jnp) * p_t[:, None],
+                            ray_src2)
+        out_dir = jnp.where(started[:, None], -_unit(d, jnp), out_dir2)
+        hit_idx = jnp.where(started, p_idx, hit_idx2)
+        b = jnp.where(started, 0, b2)
+        t_put = jnp.where(started[:, None], 1.0, t_put)
+        l_acc = jnp.where(started[:, None], 0.0, l_acc)
+        le0 = jnp.where(started[:, None], p_le, le0)
+
+        return (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0,
+                pix, smp, next_sample, done, accum, it + 1, n_rays)
+
+    init = (
+        jnp.zeros(m, bool),
+        jnp.zeros((m, 3), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+        jnp.zeros(m, jnp.int32),
+        jnp.zeros(m, jnp.uint32),
+        jnp.ones((m, 3), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+        jnp.zeros((m, 3), jnp.float32),
+        jnp.zeros(m, jnp.uint32),
+        jnp.zeros(m, jnp.uint32),
+        jnp.int64(0),
+        jnp.int64(0),
+        jnp.zeros((npix + 1, 3), jnp.float32),  # +1 drop row
+        jnp.int32(0),
+        jnp.int64(0),  # useful-ray counter
+    )
+
+    def cond(carry):
+        return (carry[11] < total_samples) & (carry[13] < max_iters)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return out[12][:npix], out[11], out[14]
+
+
+def render_film_pool(sd, cam, cfg: RenderConfig,
+                     film: Optional[Film] = None) -> Film:
+    """Pool-compacted render of cfg.spp samples per pixel -> Film."""
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    rot = jnp.asarray(cam.camera_rotate, jnp.float32)
+    pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
+    accum, done, _ = _pool_render(
+        sd, eye, rot, npix * cfg.spp, cfg, pool_m, film.count
+    )
+    return Film(
+        accum=film.accum + accum.reshape(cfg.height, cfg.width, 3),
+        count=film.count + jnp.int32(cfg.spp),
+    )

@@ -137,7 +137,18 @@ def render_film(
     film: Optional[Film] = None,
     progress: Optional[Callable[[int, int], None]] = None,
 ) -> Film:
-    """Accumulate cfg.spp samples into a Film via jitted launches."""
+    """Accumulate cfg.spp samples into a Film.
+
+    cfg.engine='pool' uses the respawn-compacted persistent ray pool
+    (integrator/pool.py, ~2x over the scan engine); 'scan' runs fixed
+    wavefront launches (also the multi-chip building block)."""
+    if cfg.engine == "pool" and cfg.integrator == "full":
+        from . import pool as pool_mod
+
+        film = pool_mod.render_film_pool(sd, cam, cfg, film=film)
+        if progress:
+            progress(cfg.spp, cfg.spp)
+        return film
     npix = cfg.width * cfg.height
     if film is None:
         film = Film.create(cfg.height, cfg.width)

@@ -253,9 +253,10 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
         sites_u = S.LIGHT_BASE + 2 * xp.arange(e_cnt, dtype=xp.uint32)
         sid_b = (sample_id[:, None]
                  if getattr(sample_id, "ndim", 0) == 1 else sample_id)
-        lu = rng.uniform(xp, pixel_id[:, None], sid_b, b + 1,
+        b_l = b[:, None] if getattr(b, "ndim", 0) == 1 else b
+        lu = rng.uniform(xp, pixel_id[:, None], sid_b, b_l + 1,
                          sites_u[None, :], cfg.seed)
-        lv = rng.uniform(xp, pixel_id[:, None], sid_b, b + 1,
+        lv = rng.uniform(xp, pixel_id[:, None], sid_b, b_l + 1,
                          sites_u[None, :] + 1, cfg.seed)
         lpoint = sampling.triangle_point(
             lp1[None], lp2[None], lp3[None], lu, lv, xp

@@ -37,6 +37,7 @@ class RenderConfig:
     #                                   'gemm' | 'bvh' | 'brute'
     integrator: str = "full"          # 'full' (NEE megakernel) | 'preview'
     preview_bounces: int = 2          # fshader_preview.fsh:397
+    engine: str = "pool"              # 'pool' (respawn compaction) | 'scan'
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 64          # reference uses 128 (PathTrace.cu:34)
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip

@@ -1,0 +1,55 @@
+"""Persistent ray-pool engine: equivalence with the scan engine."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from jaderaytracerendering_tpu.integrator import pool, render as R
+from jaderaytracerendering_tpu.models import demo
+from jaderaytracerendering_tpu.scene.scene import assemble
+from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+
+def _setup(**kw):
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    base = dict(width=8, height=8, spp=4, spp_batch=4, max_depth=4,
+                traversal="bvh", rays_per_launch=64)
+    base.update(kw)
+    return ds, sd, RenderConfig(**base)
+
+
+def test_pool_equals_scan():
+    ds, sd, cfg = _setup()
+    a = np.asarray(R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pool_small_pool_size():
+    # pool smaller than the sample count forces many respawn rounds
+    ds, sd, cfg = _setup(rays_per_launch=16)
+    a = np.asarray(R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pool_resume_counts():
+    ds, sd, cfg = _setup(spp=2)
+    f1 = pool.render_film_pool(sd, ds.camera, cfg)
+    f2 = pool.render_film_pool(sd, ds.camera, cfg, film=f1)
+    assert int(f2.count) == 4
+    # resumed pool render consumes sample ids 2..3 -> equals straight 4spp
+    f4 = pool.render_film_pool(sd, ds.camera, cfg.replace(spp=4))
+    np.testing.assert_allclose(
+        np.asarray(f2.mean()), np.asarray(f4.mean()), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_render_film_dispatches_to_pool():
+    ds, sd, cfg = _setup()
+    a = R.render_film(sd, ds.camera, cfg)  # engine defaults to pool
+    assert int(a.count) == cfg.spp
+    assert np.isfinite(np.asarray(a.accum)).all()
