@@ -84,6 +84,42 @@ def uniform(xp, pixel_id, sample_id, bounce, site, seed=0):
     return (bits >> _u32(8, xp)).astype(xp.float32) * xp.float32(1.0 / 16777216.0)
 
 
+def wang_hash(seed, xp):
+    """The reference's GLSL hash, verbatim (fshader_render.fsh:87-94).
+
+    Provided for behavioral-parity studies; the framework's own streams
+    use pcg_hash (see module docstring for why)."""
+    import contextlib
+
+    import numpy as _np
+
+    guard = _np.errstate(over="ignore") if xp is _np else contextlib.nullcontext()
+    with guard:
+        seed = _u32(seed, xp)
+        seed = (seed ^ _u32(61, xp)) ^ (seed >> _u32(16, xp))
+        seed = seed * _u32(9, xp)
+        seed = seed ^ (seed >> _u32(4, xp))
+        seed = seed * _u32(0x27D4EB2D, xp)
+        seed = seed ^ (seed >> _u32(15, xp))
+        return seed
+
+
+def glsl_seed(px_norm_x, px_norm_y, width, height, frame_counter, xp):
+    """The GLSL per-pixel seed (fshader_render.fsh:82-85):
+    (x*1973 + y*9277 + frame*26699) | 1 over pixel integer coords."""
+    import contextlib
+
+    import numpy as _np
+
+    guard = _np.errstate(over="ignore") if xp is _np else contextlib.nullcontext()
+    with guard:
+        x = _u32((px_norm_x * 0.5 + 0.5) * width, xp)
+        y = _u32((px_norm_y * 0.5 + 0.5) * height, xp)
+        s = (x * _u32(1973, xp) + y * _u32(9277, xp)
+             + _u32(frame_counter, xp) * _u32(26699, xp))
+        return s | _u32(1, xp)
+
+
 class DrawSites:
     """Static site ids for every distinct random draw in one bounce.
 

@@ -39,19 +39,29 @@ from . import render as render_mod, wavefront
 from .wavefront import _mat_rows, _tri_rows, _unit
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
-def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
-                 pool_m: int, sample_base, max_iters: int = 1_000_000):
-    npix = cfg.width * cfg.height
+def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
+                      pool_m: int, sample_base, pixel_ids=None,
+                      max_iters: int = 1_000_000):
+    """Core pool loop. ``pixel_ids`` (optional [P] u32) maps local film
+    slots to global pixel ids — the film-shard case (parallel/): the film
+    scatter targets local slots while camera rays and RNG streams use the
+    global pixel id, so sharded results equal single-device ones."""
+    npix = (cfg.width * cfg.height if pixel_ids is None
+            else pixel_ids.shape[0])
     nearest = render_mod.make_nearest(sd, cfg, jnp)
     m = pool_m
 
-    def spawn(fresh, next_sample, pix, smp):
+    def spawn(fresh, next_sample, slot, pix, smp):
         """Assign queue samples to fresh lanes -> updated ids + masks."""
         k = jnp.cumsum(fresh.astype(jnp.int32))
         sample_index = next_sample + (k - 1).astype(jnp.int64)
         got = fresh & (sample_index < total_samples)
-        pix = jnp.where(got, (sample_index % npix).astype(jnp.uint32), pix)
+        new_slot = (sample_index % npix).astype(jnp.uint32)
+        slot = jnp.where(got, new_slot, slot)
+        if pixel_ids is None:
+            pix = jnp.where(got, new_slot, pix)
+        else:
+            pix = jnp.where(got, pixel_ids[new_slot], pix)
         smp = jnp.where(
             got,
             (sample_index // npix).astype(jnp.uint32)
@@ -61,7 +71,7 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         consumed = jnp.minimum(
             jnp.asarray(k[-1], jnp.int64), total_samples - next_sample
         )
-        return got, next_sample + consumed, pix, smp
+        return got, next_sample + consumed, slot, pix, smp
 
     def primary(pix, smp, mask):
         o, d = camera_mod.generate_rays(
@@ -73,8 +83,8 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         return o, d, hit, idx, t
 
     def body(carry):
-        (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, pix, smp,
-         next_sample, done, accum, it, n_rays0) = carry
+        (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, slot, pix,
+         smp, next_sample, done, accum, it, n_rays0) = carry
 
         # ---- advance live paths one bounce ----
         st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
@@ -94,14 +104,15 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         # ---- bank finished paths ----
         l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
         contrib = jnp.where(finished[:, None], l_final, 0.0)
-        accum = accum.at[jnp.where(finished, pix, npix)].add(
+        accum = accum.at[jnp.where(finished, slot, npix)].add(
             contrib, mode="drop"
         )
         done = done + jnp.sum(finished.astype(jnp.int64))
 
         # ---- respawn freed lanes on fresh samples ----
         fresh = ~still & ~active | finished  # idle or just finished
-        got, next_sample, pix, smp = spawn(fresh, next_sample, pix, smp)
+        got, next_sample, slot, pix, smp = spawn(fresh, next_sample, slot,
+                                                 pix, smp)
         n_rays = n_rays0 + jnp.sum(active.astype(jnp.int64)) * (sd.n_emit + 2)
         n_rays = n_rays + jnp.sum(got.astype(jnp.int64))
         o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
@@ -112,7 +123,7 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
                          jnp)[:, scene_mod.MAT_EMISSIVE]
         # sky misses complete immediately
         miss = got & ~p_hit
-        accum = accum.at[jnp.where(miss, pix, npix)].add(
+        accum = accum.at[jnp.where(miss, slot, npix)].add(
             jnp.where(miss[:, None], sky, 0.0), mode="drop"
         )
         done = done + jnp.sum(miss.astype(jnp.int64))
@@ -129,7 +140,7 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         le0 = jnp.where(started[:, None], p_le, le0)
 
         return (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0,
-                pix, smp, next_sample, done, accum, it + 1, n_rays)
+                slot, pix, smp, next_sample, done, accum, it + 1, n_rays)
 
     init = (
         jnp.zeros(m, bool),
@@ -140,8 +151,9 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         jnp.ones((m, 3), jnp.float32),
         jnp.zeros((m, 3), jnp.float32),
         jnp.zeros((m, 3), jnp.float32),
-        jnp.zeros(m, jnp.uint32),
-        jnp.zeros(m, jnp.uint32),
+        jnp.zeros(m, jnp.uint32),  # slot
+        jnp.zeros(m, jnp.uint32),  # pix (global)
+        jnp.zeros(m, jnp.uint32),  # smp
         jnp.int64(0),
         jnp.int64(0),
         jnp.zeros((npix + 1, 3), jnp.float32),  # +1 drop row
@@ -150,10 +162,17 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     )
 
     def cond(carry):
-        return (carry[11] < total_samples) & (carry[13] < max_iters)
+        return (carry[12] < total_samples) & (carry[14] < max_iters)
 
     out = jax.lax.while_loop(cond, body, init)
-    return out[12][:npix], out[11], out[14]
+    return out[13][:npix], out[12], out[15]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
+def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
+                 pool_m: int, sample_base, max_iters: int = 1_000_000):
+    return _pool_render_impl(sd, eye, cam_rot, total_samples, cfg, pool_m,
+                             sample_base, None, max_iters)
 
 
 def render_film_pool(sd, cam, cfg: RenderConfig,

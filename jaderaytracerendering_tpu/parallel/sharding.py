@@ -98,13 +98,63 @@ def gather_film(tile_shards, mesh: Mesh):
     )(tile_shards)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "mesh"))
+def _pool_render_sharded(sd, eye, cam_rot, pixel_ids, sample_base,
+                         cfg: RenderConfig, pool_m: int, mesh: Mesh):
+    """Pool engine over the mesh: each 'tile' shard pools its own pixel
+    subset with a private sample queue; the 'spp' axis renders disjoint
+    sample-id ranges of the same pixels and psum-reduces."""
+    from ..integrator import pool as pool_mod
+
+    n_spp = mesh.shape["spp"]
+    spp_local = cfg.spp // n_spp
+
+    def shard_fn(sd_, eye_, rot_, ids_):
+        spp_rank = jax.lax.axis_index("spp")
+        base = (jnp.asarray(sample_base, jnp.uint32)
+                + spp_rank.astype(jnp.uint32) * jnp.uint32(spp_local))
+        total = ids_.shape[0] * spp_local
+        accum, done, _ = pool_mod._pool_render_impl(
+            sd_, eye_, rot_, total, cfg.replace(spp=spp_local),
+            min(pool_m, total), base, pixel_ids=ids_,
+        )
+        return jax.lax.psum(accum, "spp")
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P("tile")),
+        out_specs=P("tile"),
+        check_vma=False,
+    )(sd, eye, cam_rot, pixel_ids)
+
+
 def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
                             film: Optional[Film] = None) -> Film:
     """Full-film distributed render: film tiles over 'tile', spp over 'spp'.
 
-    Accumulates cfg.spp samples (each pass adds mesh.shape['spp'] * sppb
-    samples per pixel)."""
+    cfg.engine='pool' runs the respawn-compacted pool per shard (cfg.spp
+    must divide by the spp axis); 'scan' accumulates in passes of
+    mesh.shape['spp'] * sppb samples."""
     npix = cfg.width * cfg.height
+    n_tile_ = mesh.shape["tile"]
+    if cfg.engine == "pool" and cfg.integrator == "full":
+        assert cfg.spp % mesh.shape["spp"] == 0, "spp must divide spp axis"
+        if film is None:
+            film = Film.create(cfg.height, cfg.width)
+        pad = (-npix) % n_tile_
+        pixel_ids = jnp.asarray(
+            np.concatenate([np.arange(npix), np.zeros(pad)]).astype(np.uint32)
+        )
+        pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
+        accum = _pool_render_sharded(
+            sd, jnp.asarray(cam.eye, jnp.float32),
+            jnp.asarray(cam.camera_rotate, jnp.float32),
+            pixel_ids, film.count, cfg, pool_m, mesh,
+        )
+        return Film(
+            accum=film.accum + accum[:npix].reshape(cfg.height, cfg.width, 3),
+            count=film.count + jnp.int32(cfg.spp),
+        )
     n_tile = mesh.shape["tile"]
     n_spp = mesh.shape["spp"]
     if film is None:

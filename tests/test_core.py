@@ -133,3 +133,25 @@ class TestFilm:
         g = film.Film.load(p)
         np.testing.assert_array_equal(np.asarray(f.accum), np.asarray(g.accum))
         assert int(g.count) == 5
+
+
+class TestCompatRng:
+    def test_wang_hash_known_values(self):
+        # hand-computed from the reference algorithm
+        def ref(seed):
+            seed = (seed ^ 61) ^ (seed >> 16)
+            seed = (seed * 9) & 0xFFFFFFFF
+            seed = seed ^ (seed >> 4)
+            seed = (seed * 0x27D4EB2D) & 0xFFFFFFFF
+            return seed ^ (seed >> 15)
+        for s in (1, 42, 1973, 0xDEADBEEF):
+            got = int(rng.wang_hash(np.uint32(s), np))
+            assert got == ref(s)
+        # numpy == jax
+        a = rng.wang_hash(np.arange(100, dtype=np.uint32), np)
+        b = np.asarray(rng.wang_hash(jnp.arange(100, dtype=jnp.uint32), jnp))
+        np.testing.assert_array_equal(a, b)
+
+    def test_glsl_seed_is_odd(self):
+        s = rng.glsl_seed(np.float32(0.25), np.float32(-0.5), 1024, 1024, 7, np)
+        assert int(s) % 2 == 1

@@ -53,3 +53,17 @@ def test_render_film_dispatches_to_pool():
     a = R.render_film(sd, ds.camera, cfg)  # engine defaults to pool
     assert int(a.count) == cfg.spp
     assert np.isfinite(np.asarray(a.accum)).all()
+
+
+def test_pool_distributed_matches_single():
+    from jaderaytracerendering_tpu.parallel import sharding
+
+    ds, sd, cfg = _setup(spp=4)
+    for shape in ((4, 1), (2, 2)):
+        mesh = sharding.make_mesh(shape)
+        f_d = sharding.render_film_distributed(sd, ds.camera, cfg, mesh)
+        f_s = pool.render_film_pool(sd, ds.camera, cfg)
+        np.testing.assert_allclose(
+            np.asarray(f_d.mean()), np.asarray(f_s.mean()),
+            rtol=1e-3, atol=1e-4,
+        )
