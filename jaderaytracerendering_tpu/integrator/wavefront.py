@@ -129,8 +129,15 @@ def _refract_march(alive_ref, tri, miu_in, normal, ray_src, out_dir, sd, cfg,
     return rdir, rate, escaped, exclude, src
 
 
-def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
-    """One masked megakernel bounce. Returns (state, (dir_b, rate_b))."""
+def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
+                cont_override=None):
+    """One masked megakernel bounce. Returns (state, (dir_b, rate_b)).
+
+    ``cont_override=(mask, src, dir)`` injects extra rays into otherwise-
+    idle lanes' continuation slots (exclusion -1) — the pool engine rides
+    its respawn primary rays through the same batched trace. When given,
+    the raw continuation trace (hit, idx, t) is returned as a third
+    element."""
     active, ray_src, out_dir, hit_idx, killed = state
     m = ray_src.shape[0]
     e_cnt = sd.n_emit
@@ -242,6 +249,14 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
         cdir = xp.where(is_dirref[..., None], ref_dir, cdir)
     cont_src = xp.where(is_dirref[..., None], ref_src, nee_src)
     cont_excl = xp.where(is_dirref, ref_last.astype(tri.dtype), nee_excl)
+    cont_mask = alive
+    if cont_override is not None:
+        ov_mask, ov_src, ov_dir = cont_override
+        ov3 = ov_mask[..., None]
+        cdir = xp.where(ov3, ov_dir, cdir)
+        cont_src = xp.where(ov3, ov_src, cont_src)
+        cont_excl = xp.where(ov_mask, -1, cont_excl)
+        cont_mask = alive | ov_mask
 
     needs_nee = is_diffuse | sss_entry | sss_exit
     if e_cnt > 0:
@@ -277,7 +292,7 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     # zero-direction ray as a miss, so dead lanes cost no traversal work
     # (their stale origins are o + d*INF garbage otherwise).
     nee_gate3 = needs_nee[..., None]
-    alive3 = alive[..., None]
+    alive3 = cont_mask[..., None]
     batch_o = xp.concatenate([
         xp.broadcast_to(
             xp.where(nee_gate3, nee_src, 0.0)[:, None, :], (m, e_cnt, 3)
@@ -421,7 +436,10 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn):
     hit_idx = xp.where(accept, c_idx.astype(hit_idx.dtype), hit_idx)
     active = accept
 
-    return (active, ray_src, out_dir, hit_idx, killed), (dir_out, rate_out)
+    new_state = (active, ray_src, out_dir, hit_idx, killed)
+    if cont_override is not None:
+        return new_state, (dir_out, rate_out), (c_hit, c_idx, c_t)
+    return new_state, (dir_out, rate_out)
 
 
 def composite(dir_ys, rate_ys, xp):

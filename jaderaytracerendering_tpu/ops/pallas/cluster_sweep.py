@@ -144,21 +144,34 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
     mp = m + pad_m
     n_tiles = mp // tile_m
 
-    # host-side (XLA) tile -> active-cluster lists
-    enter, dist = intersect.ray_aabb(
-        origins[:, None, :], dirs_u[:, None, :],
-        sd.cluster_aa[None], sd.cluster_bb[None], jnp,
-    )
-    # zero-direction (masked-out) rays participate in nothing
+    # host-side (XLA) tile -> active-cluster lists. Scalarized per-axis
+    # slab test: [M, C] planes only (the [M, C, 3] broadcast form
+    # materializes ~2 GB of temporaries at M=65k).
+    t0v = None
+    t1v = None
+    for ax in range(3):
+        inv = 1.0 / dirs_u[:, ax : ax + 1]                      # [M, 1]
+        fa = (sd.cluster_bb[None, :, ax] - origins[:, ax : ax + 1]) * inv
+        na = (sd.cluster_aa[None, :, ax] - origins[:, ax : ax + 1]) * inv
+        hi = jnp.maximum(fa, na)
+        lo = jnp.minimum(fa, na)
+        t1v = hi if t1v is None else jnp.minimum(t1v, hi)
+        t0v = lo if t0v is None else jnp.maximum(t0v, lo)
+    # reference semantics (dist > 0): entry t if outside, exit t if inside
+    dist_pos = jnp.where(t0v > 0.0, t0v, t1v) > 0.0
     ray_ok = jnp.sum(jnp.abs(dirs_u), axis=-1) > 0
-    hits_box = (dist > 0) & ray_ok[:, None]
+    hits_box = (t1v >= t0v) & dist_pos & ray_ok[:, None]
     active = hits_box.reshape(n_tiles, tile_m, c).any(axis=1)  # [tiles, C]
     counts = active.sum(axis=1).astype(jnp.int32)  # [tiles]
     l_list = min(c, L_MAX)
-    order = jnp.argsort(~active, axis=1, stable=True).astype(jnp.int32)
-    ids = jnp.where(
-        jnp.take_along_axis(active, order, axis=1), order, -1
-    )[:, :l_list]  # [tiles, <=L_MAX] active ids first, -1 padding
+    # pack active cluster ids to the front via cumsum scatter (no argsort)
+    pos = jnp.cumsum(active.astype(jnp.int32), axis=1)
+    slot = jnp.where(active & (pos <= l_list), pos - 1, l_list)
+    rows = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
+    cols = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :],
+                            (n_tiles, c))
+    ids = jnp.full((n_tiles, l_list + 1), -1, jnp.int32)
+    ids = ids.at[rows, slot].set(cols, mode="drop")[:, :l_list]
 
     kern = functools.partial(_sweep_kernel, k=k, n_clusters=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
