@@ -70,6 +70,15 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
             return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
                 o, d, e, sd
             )
+        # the sweep kernel keeps the packed scene in VMEM (~16 MB/core);
+        # very large scenes fall back to the XLA cluster traversal
+        blocks_bytes = sd.n_clusters * 16 * sd.cluster_k * 4  # 12->16 pad
+        if blocks_bytes > 10 * 1024 * 1024:
+            from ..ops import cluster_traverse
+
+            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
+                o, d, e, sd
+            )
         from ..ops.pallas import cluster_sweep
 
         # CPU backend (tests / virtual meshes) runs the kernel interpreted
