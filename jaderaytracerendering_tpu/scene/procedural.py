@@ -80,34 +80,61 @@ def uv_sphere(n_lat: int = 16, n_lon: int = 32) -> tuple[np.ndarray, np.ndarray]
     return v, np.asarray(faces, np.int64)
 
 
-def buddha_standin(n_triangles: int = 100_000, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
-    """Organic displaced-sphere blob with ~n_triangles triangles.
-
-    Deterministic smooth displacement (sum of low-frequency sinusoids +
-    a vertical taper) gives a statue-like silhouette with concavities —
-    a fair stand-in for happyBuddha.obj's geometric load on the BVH.
-    """
-    # tris ~= 2 * n_lat * n_lon with n_lon = 2 n_lat
-    n_lat = max(8, int(np.sqrt(n_triangles / 4.0)))
-    n_lon = 2 * n_lat
+def _displaced_sphere(n_lat, n_lon, seed, amp=0.05):
     v, f = uv_sphere(n_lat, n_lon)
     rng = np.random.default_rng(seed)
-    # fixed bank of sinusoidal lobes
     freqs = rng.uniform(1.5, 6.0, size=(8, 3))
     phases = rng.uniform(0, 2 * np.pi, size=8)
-    amps = rng.uniform(0.02, 0.08, size=8)
-    p = v * 2.0  # unit radius
+    amps = rng.uniform(0.4, 1.6, size=8) * amp
+    p = v * 2.0
     disp = np.zeros(len(v))
     for k in range(8):
         disp += amps[k] * np.sin(
-            p[:, 0] * freqs[k, 0] + p[:, 1] * freqs[k, 1] + p[:, 2] * freqs[k, 2] + phases[k]
+            p[:, 0] * freqs[k, 0] + p[:, 1] * freqs[k, 1]
+            + p[:, 2] * freqs[k, 2] + phases[k]
         )
-    # vertical taper: wider base, narrower top (statue-ish)
-    taper = 1.0 - 0.35 * np.clip(p[:, 1], 0, 1) ** 2
-    radial = 1.0 + disp
-    out = v * (radial * taper)[:, None]
-    out[:, 1] *= 1.35  # elongate vertically
-    return out, f
+    return v * (1.0 + disp)[:, None], f
+
+
+def _merge(parts):
+    vs, fs, off = [], [], 0
+    for v, f, scale, shift in parts:
+        vv = v * np.asarray(scale)[None, :] + np.asarray(shift)[None, :]
+        vs.append(vv)
+        fs.append(f + off)
+        off += len(vv)
+    return np.concatenate(vs), np.concatenate(fs)
+
+
+def buddha_standin(n_triangles: int = 100_000, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """Seated-statue stand-in with ~n_triangles triangles.
+
+    A deterministic figure — broad displaced-sphere body, head, two
+    shoulder lobes and a plinth — approximating happyBuddha.obj's
+    silhouette and giving the BVH organic, concave geometry to chew on.
+    """
+    # body gets ~60% of the budget, head ~20%, shoulders ~8% each, base rest
+    def latlon(frac, lo=6):
+        n_lat = max(lo, int(np.sqrt(max(n_triangles, 200) * frac / 4.0)))
+        return n_lat, 2 * n_lat
+
+    body = _displaced_sphere(*latlon(0.55), seed=seed, amp=0.06)
+    head = _displaced_sphere(*latlon(0.18), seed=seed + 1, amp=0.04)
+    sh_l = _displaced_sphere(*latlon(0.08), seed=seed + 2, amp=0.05)
+    sh_r = _displaced_sphere(*latlon(0.08), seed=seed + 3, amp=0.05)
+    base = box()
+    v, f = _merge([
+        (body[0], body[1], (0.72, 0.60, 0.52), (0.0, -0.12, 0.0)),
+        (head[0], head[1], (0.34, 0.38, 0.34), (0.0, 0.32, 0.02)),
+        (sh_l[0], sh_l[1], (0.26, 0.22, 0.26), (-0.33, 0.05, 0.0)),
+        (sh_r[0], sh_r[1], (0.26, 0.22, 0.26), (0.33, 0.05, 0.0)),
+        (base[0], base[1], (0.95, 0.14, 0.72), (0.0, -0.42, 0.0)),
+    ])
+    # emit z-up like the real happyBuddha.obj: the demo scene applies the
+    # reference's rotate(-90deg, x) (PathTrace.cpp:1002), which maps
+    # (x, y, z) -> (x, z, -y); pre-rotate so the statue lands upright.
+    v = np.stack([v[:, 0], -v[:, 2], v[:, 1]], axis=1)
+    return v, f
 
 
 def mesh_stats(v: np.ndarray, f: np.ndarray) -> str:
