@@ -113,9 +113,10 @@ def buddha_standin(n_triangles: int = 100_000, seed: int = 7) -> tuple[np.ndarra
     shoulder lobes and a plinth — approximating happyBuddha.obj's
     silhouette and giving the BVH organic, concave geometry to chew on.
     """
-    # body gets ~60% of the budget, head ~20%, shoulders ~8% each, base rest
+    # body ~60% of the budget, head ~20%, shoulders ~8% each; fractions
+    # sum to 0.89, so rescale to land on the requested count
     def latlon(frac, lo=6):
-        n_lat = max(lo, int(np.sqrt(max(n_triangles, 200) * frac / 4.0)))
+        n_lat = max(lo, int(np.sqrt(max(n_triangles, 200) * frac / 0.88 / 4.0)))
         return n_lat, 2 * n_lat
 
     body = _displaced_sphere(*latlon(0.55), seed=seed, amp=0.06)
