@@ -155,3 +155,20 @@ class TestCompatRng:
     def test_glsl_seed_is_odd(self):
         s = rng.glsl_seed(np.float32(0.25), np.float32(-0.5), 1024, 1024, 7, np)
         assert int(s) % 2 == 1
+
+
+class TestConfigPresets:
+    def test_presets(self):
+        from jaderaytracerendering_tpu.utils import config as C
+        cu = C.cuda_parity(width=64)
+        assert cu.rr_rate == 0.9 and cu.max_depth == 128 and cu.width == 64
+        gl = C.gl_render_parity()
+        assert gl.rr_rate == 0.8 and gl.max_depth == 16 and gl.jitter == "gl"
+        pv = C.gl_preview_parity()
+        assert pv.integrator == "preview" and pv.preview_bounces == 2
+
+    def test_config_json_roundtrip(self):
+        from jaderaytracerendering_tpu.utils.config import RenderConfig
+        cfg = RenderConfig(width=33, mesh_shape=(2, 4), traversal="gemm")
+        back = RenderConfig.from_json(cfg.to_json())
+        assert back == cfg
