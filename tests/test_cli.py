@@ -68,3 +68,30 @@ def test_render_cli_mesh(tmp_path):
     ])
     img = image_io.read_bmp(out)
     assert img.shape == (8, 8, 3)
+
+
+def test_render_cli_custom_hdr(tmp_path):
+    import numpy as np
+    from jaderaytracerendering_tpu.scene import hdr
+
+    p = str(tmp_path / "bg.hdr")
+    hdr.write_hdr(p, hdr.procedural_sky(16, 32, sun_intensity=5.0))
+    out = str(tmp_path / "h.png")
+    render_cli.main([
+        "--scene", "tiny", "--hdr", p, "--width", "8", "--height", "8",
+        "--spp", "1", "--max-depth", "2", "--traversal", "bvh", "--out", out,
+    ])
+    assert os.path.exists(out)
+
+
+def test_render_cli_config_json(tmp_path):
+    from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        f.write(RenderConfig(width=8, height=8, spp=1, max_depth=2,
+                             traversal="bvh").to_json())
+    out = str(tmp_path / "c.bmp")
+    render_cli.main(["--scene", "tiny", "--config", cfgp, "--out", out])
+    img = image_io.read_bmp(out)
+    assert img.shape == (8, 8, 3)
