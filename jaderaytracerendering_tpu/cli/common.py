@@ -71,6 +71,8 @@ def load_scene(args) -> Tuple[list, np.ndarray, object]:
         ds = demo.jade_scene(n_buddha_tris=tris)
     elif name == "diffuse":
         ds = demo.diffuse_scene(n_buddha_tris=tris)
+    elif name == "cornell":
+        ds = demo.cornell_scene()
     elif name == "tiny":
         ds = demo.tiny_scene()
     else:
@@ -87,7 +89,7 @@ def config_from_args(args, **overrides) -> RenderConfig:
             cfg = RenderConfig.from_json(f.read())
     kw = {}
     for field in ("width", "height", "spp", "max_depth", "traversal",
-                  "spp_batch", "rays_per_launch", "seed", "tonemap"):
+                  "spp_batch", "rays_per_launch", "seed", "tonemap", "engine"):
         v = getattr(args, field, None)
         if v is not None:
             kw[field] = v
@@ -96,7 +98,7 @@ def config_from_args(args, **overrides) -> RenderConfig:
 
 
 def add_common_args(ap) -> None:
-    ap.add_argument("--scene", default="jade", help="jade|diffuse|tiny")
+    ap.add_argument("--scene", default="jade", help="jade|diffuse|cornell|tiny")
     ap.add_argument("--render-args", dest="render_args",
                     help="render_args.txt produced by the preview (F key)")
     ap.add_argument("--scene-json", dest="scene_json")
@@ -108,7 +110,9 @@ def add_common_args(ap) -> None:
     ap.add_argument("--height", type=int)
     ap.add_argument("--spp", type=int)
     ap.add_argument("--max-depth", dest="max_depth", type=int)
-    ap.add_argument("--traversal", choices=["bvh", "brute"])
+    ap.add_argument("--traversal",
+                    choices=["sweep", "clusters", "gemm", "bvh", "brute"])
+    ap.add_argument("--engine", choices=["pool", "scan"])
     ap.add_argument("--spp-batch", dest="spp_batch", type=int)
     ap.add_argument("--rays-per-launch", dest="rays_per_launch", type=int)
     ap.add_argument("--seed", type=int)

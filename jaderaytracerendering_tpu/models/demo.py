@@ -93,6 +93,41 @@ def diffuse_scene(
     return ds
 
 
+def cornell_scene(env_shape: tuple[int, int] = (16, 32)) -> DemoScene:
+    """Cornell box: the reference's commented-out alternate scene family
+    (PathTrace.cpp:1026-1063 loads cornell_* parts with red/green/white
+    diffuse walls). Rebuilt from procedural quads/boxes: white floor/
+    ceiling/back, red left, green right, ceiling area light, short and
+    tall boxes. The env map is irrelevant (closed box) but present."""
+    white = material.Material(brdf=(0.72, 0.72, 0.72))
+    red = material.Material(brdf=(0.72, 0.0, 0.0))
+    green = material.Material(brdf=(0.0, 0.72, 0.0))
+    light = material.Material(emissive=(40.0, 40.0, 40.0), brdf=(0.3, 0.3, 0.3))
+
+    def wall(name, mat, rotate, translate, scale=(2.0, 2.0, 1.0)):
+        return _obj(name, procedural.quad(), mat,
+                    dict(rotate=rotate, translate=translate, scale=scale),
+                    normalize=False)
+
+    objs = [
+        wall("floor", white, (-90, 0, 0), (0, -1, 0)),
+        wall("ceiling", white, (90, 0, 0), (0, 1, 0)),
+        wall("back", white, (0, 0, 0), (0, 0, -1)),
+        wall("left", red, (0, 90, 0), (-1, 0, 0)),
+        wall("right", green, (0, -90, 0), (1, 0, 0)),
+        wall("light", light, (90, 0, 0), (0, 0.999, 0), scale=(0.6, 0.6, 1.0)),
+        _obj("short_box", procedural.box(), white,
+             dict(rotate=(0, -17, 0), translate=(0.35, -0.7, 0.35),
+                  scale=(0.6, 0.6, 0.6)), normalize=False),
+        _obj("tall_box", procedural.box(), white,
+             dict(rotate=(0, 18, 0), translate=(-0.35, -0.4, -0.3),
+                  scale=(0.6, 1.2, 0.6)), normalize=False),
+    ]
+    env = hdr.procedural_sky(*env_shape, sun_intensity=0.0)
+    cam = OrbitCamera(r=3.6)
+    return DemoScene(objects=objs, env_map=env, camera=cam)
+
+
 def tiny_scene(env_shape: tuple[int, int] = (32, 64)) -> DemoScene:
     """A minimal diffuse scene for fast unit tests: floor + light quad."""
     objs = [

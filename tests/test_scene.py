@@ -229,3 +229,31 @@ class TestAssembly:
         sd = assemble(ds.objects, ds.env_map, xp=np)
         assert sd.has_sss and sd.has_mirror and not sd.has_refract
         assert sd.n_objects == 3
+
+
+class TestCornell:
+    def test_cornell_scene_assembles(self):
+        ds = demo.cornell_scene()
+        sd = assemble(ds.objects, ds.env_map, xp=np)
+        assert sd.n_objects == 8
+        assert sd.n_emit == 2  # light quad
+        assert not sd.has_sss
+
+    def test_cornell_renders_color_bleed(self):
+        import jax.numpy as jnp
+        import jax
+        from jaderaytracerendering_tpu.integrator import render as R
+        from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+        ds = demo.cornell_scene()
+        sd = assemble(ds.objects, ds.env_map, xp=np)
+        sdj = jax.tree.map(jnp.asarray, sd)
+        cfg = RenderConfig(width=24, height=24, spp=8, max_depth=4,
+                           traversal="bvh", engine="scan", spp_batch=4)
+        film = R.render_film(sdj, ds.camera, cfg)
+        img = np.asarray(film.mean())
+        assert np.isfinite(img).all() and img.mean() > 0.01
+        # left third redder than right third; right third greener
+        left = img[:, :8]; right = img[:, 16:]
+        assert left[..., 0].mean() > left[..., 1].mean()
+        assert right[..., 1].mean() > right[..., 0].mean()
