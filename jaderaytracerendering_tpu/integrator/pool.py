@@ -48,13 +48,6 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     global pixel id, so sharded results equal single-device ones."""
     npix = (cfg.width * cfg.height if pixel_ids is None
             else pixel_ids.shape[0])
-    # without jax_enable_x64 the int64 queue counters silently truncate
-    # to int32; one pool call must stay under 2^31 samples (1080p x 1024
-    # spp = 2.12e9 fits; split larger jobs into resumed calls)
-    assert total_samples < 2**31, (
-        f"{total_samples} samples exceeds the int32-safe per-call limit; "
-        "split into multiple resumed render_film calls"
-    )
     nearest = render_mod.make_nearest(sd, cfg, jnp)
     m = pool_m
 
@@ -190,6 +183,13 @@ def render_film_pool(sd, cam, cfg: RenderConfig,
         film = Film.create(cfg.height, cfg.width)
     eye = jnp.asarray(cam.eye, jnp.float32)
     rot = jnp.asarray(cam.camera_rotate, jnp.float32)
+    # without jax_enable_x64 the int64 queue counters silently truncate
+    # to int32; one pool call must stay under 2^31 samples (1080p x 1024
+    # spp = 2.12e9 fits; split larger jobs into resumed calls)
+    assert npix * cfg.spp < 2**31, (
+        f"{npix * cfg.spp} samples exceeds the int32-safe per-call limit; "
+        "split into multiple resumed render_film calls"
+    )
     pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
     accum, done, _ = _pool_render(
         sd, eye, rot, npix * cfg.spp, cfg, pool_m, film.count
