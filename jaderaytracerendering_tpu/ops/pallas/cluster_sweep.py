@@ -87,16 +87,23 @@ def _sweep_kernel(ids_ref, counts_ref, begins_ref, o_ref, d_ref, ex_ref,
 
     @pl.when(n_active <= L_MAX)
     def _listed():
+        # 2 visits per trip: per-visit sequencer/branch overhead dominates
+        # the dense test work, so halving loop iterations is a real win
         def visit(l, carry):
-            cid = ids_ref[tile, l]
+            cid0 = ids_ref[tile, 2 * l]
+            cid1 = ids_ref[tile, 2 * l + 1]
 
-            @pl.when(cid >= 0)
+            @pl.when(cid0 >= 0)
             def _():
-                test_cluster(cid)
+                test_cluster(cid0)
+
+            @pl.when(cid1 >= 0)
+            def _():
+                test_cluster(cid1)
 
             return carry
 
-        jax.lax.fori_loop(0, n_active, visit, 0)
+        jax.lax.fori_loop(0, (n_active + 1) // 2, visit, 0)
 
     @pl.when(n_active > L_MAX)
     def _overflow():  # candidate list truncated: sweep every cluster
@@ -172,6 +179,11 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
                             (n_tiles, c))
     ids = jnp.full((n_tiles, l_list + 1), -1, jnp.int32)
     ids = ids.at[rows, slot].set(cols, mode="drop")[:, :l_list]
+    # one clean -1 column so the 2-wide unrolled visit loop can read one
+    # past an odd n_active without touching scatter garbage
+    ids = jnp.concatenate(
+        [ids, jnp.full((n_tiles, 1), -1, jnp.int32)], axis=1
+    )
 
     kern = functools.partial(_sweep_kernel, k=k, n_clusters=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
