@@ -175,6 +175,13 @@ def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
                              sample_base, None, max_iters)
 
 
+# Max pixels per pool call: the film accumulator lives in the while-loop
+# carry, and XLA's in-loop scatter-add rewrites it per iteration — large
+# films make every iteration film-bound (1080p measured 6x slower than
+# 256^2 per sample). Tiling the film keeps the carry small.
+FILM_TILE = 1 << 16
+
+
 def render_film_pool(sd, cam, cfg: RenderConfig,
                      film: Optional[Film] = None) -> Film:
     """Pool-compacted render of cfg.spp samples per pixel -> Film."""
@@ -184,17 +191,45 @@ def render_film_pool(sd, cam, cfg: RenderConfig,
     eye = jnp.asarray(cam.eye, jnp.float32)
     rot = jnp.asarray(cam.camera_rotate, jnp.float32)
     # without jax_enable_x64 the int64 queue counters silently truncate
-    # to int32; one pool call must stay under 2^31 samples (1080p x 1024
-    # spp = 2.12e9 fits; split larger jobs into resumed calls)
-    assert npix * cfg.spp < 2**31, (
-        f"{npix * cfg.spp} samples exceeds the int32-safe per-call limit; "
-        "split into multiple resumed render_film calls"
-    )
-    pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
-    accum, done, _ = _pool_render(
-        sd, eye, rot, npix * cfg.spp, cfg, pool_m, film.count
-    )
-    return Film(
-        accum=film.accum + accum.reshape(cfg.height, cfg.width, 3),
-        count=film.count + jnp.int32(cfg.spp),
-    )
+    # to int32; one pool call must stay under 2^31 samples (a 64k-pixel
+    # film tile allows spp up to ~32k)
+    assert FILM_TILE * cfg.spp < 2**31, "spp too large for one pool pass"
+
+    if npix <= FILM_TILE:
+        pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
+        accum, done, _ = _pool_render(
+            sd, eye, rot, npix * cfg.spp, cfg, pool_m, film.count
+        )
+        return Film(
+            accum=film.accum + accum.reshape(cfg.height, cfg.width, 3),
+            count=film.count + jnp.int32(cfg.spp),
+        )
+
+    # large film: fixed-size pixel tiles (last tile wraps; dup work on the
+    # wrapped ids is avoided by masking their contributions out)
+    out = film.accum.reshape(-1, 3)
+    all_ids = np.arange(npix, dtype=np.uint32)
+    for start in range(0, npix, FILM_TILE):
+        end = min(start + FILM_TILE, npix)
+        ids_np = all_ids[start:end]
+        pad = FILM_TILE - len(ids_np)
+        if pad:
+            ids_np = np.concatenate([ids_np, all_ids[:pad]])
+        ids = jnp.asarray(ids_np)
+        total = ids.shape[0] * cfg.spp
+        pool_m = int(min(cfg.rays_per_launch, total))
+        accum, done, _ = _pool_render_tiled(
+            sd, eye, rot, total, cfg, pool_m, film.count, ids
+        )
+        take = end - start
+        out = out.at[start:end].add(accum[:take])
+    return Film(accum=out.reshape(cfg.height, cfg.width, 3),
+                count=film.count + jnp.int32(cfg.spp))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
+def _pool_render_tiled(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
+                       pool_m: int, sample_base, pixel_ids,
+                       max_iters: int = 1_000_000):
+    return _pool_render_impl(sd, eye, cam_rot, total_samples, cfg, pool_m,
+                             sample_base, pixel_ids, max_iters)

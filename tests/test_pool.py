@@ -55,6 +55,19 @@ def test_render_film_dispatches_to_pool():
     assert np.isfinite(np.asarray(a.accum)).all()
 
 
+def test_pool_film_tiling_matches_untiled(monkeypatch):
+    # large-film path: shrink FILM_TILE so an 8x8 film needs tiling; 24
+    # doesn't divide 64 so the last tile exercises the wrap-pad masking
+    ds, sd, cfg = _setup(spp=2)
+    a = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
+    for tile in (16, 24):
+        monkeypatch.setattr(pool, "FILM_TILE", tile)
+        f = pool.render_film_pool(sd, ds.camera, cfg)
+        assert int(f.count) == cfg.spp
+        np.testing.assert_allclose(np.asarray(f.mean()), a,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_pool_distributed_matches_single():
     from jaderaytracerendering_tpu.parallel import sharding
 
