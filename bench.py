@@ -93,12 +93,12 @@ def _run() -> None:
         npix = cfg.width * cfg.height
         pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
         # warm up / compile (host transfer is the only reliable barrier)
-        accum, done, n_rays = pool._pool_render(
+        accum, done, n_rays, _ = pool._pool_render(
             sd, eye, rot, npix * cfg.spp, cfg, pool_m, 0
         )
         int(done)
         t0 = time.perf_counter()
-        accum, done, n_rays = pool._pool_render(
+        accum, done, n_rays, iters = pool._pool_render(
             sd, eye, rot, npix * cfg.spp, cfg, pool_m, cfg.spp
         )
         total_rays = int(n_rays)

@@ -165,7 +165,9 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         return (carry[12] < total_samples) & (carry[14] < max_iters)
 
     out = jax.lax.while_loop(cond, body, init)
-    return out[13][:npix], out[12], out[15]
+    # (film, samples done, useful rays, loop iterations) — iterations are
+    # the perf diagnostic: wall time / iters is the per-bounce step cost
+    return out[13][:npix], out[12], out[15], out[14]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
@@ -197,7 +199,7 @@ def render_film_pool(sd, cam, cfg: RenderConfig,
 
     if npix <= FILM_TILE:
         pool_m = int(min(cfg.rays_per_launch, npix * cfg.spp))
-        accum, done, _ = _pool_render(
+        accum, done, _, _ = _pool_render(
             sd, eye, rot, npix * cfg.spp, cfg, pool_m, film.count
         )
         return Film(
@@ -218,7 +220,7 @@ def render_film_pool(sd, cam, cfg: RenderConfig,
         ids = jnp.asarray(ids_np)
         total = ids.shape[0] * cfg.spp
         pool_m = int(min(cfg.rays_per_launch, total))
-        accum, done, _ = _pool_render_tiled(
+        accum, done, _, _ = _pool_render_tiled(
             sd, eye, rot, total, cfg, pool_m, film.count, ids
         )
         take = end - start

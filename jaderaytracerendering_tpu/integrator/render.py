@@ -63,17 +63,30 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
             o, d, e, sd
         )
-    if cfg.traversal == "sweep":
-        if xp is np:  # the Pallas kernel is TPU-only; oracle uses clusters
+    if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu"):
+        if xp is np:  # the Pallas kernels are TPU-only; oracle uses clusters
             from ..ops import cluster_traverse
 
             return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
                 o, d, e, sd
             )
-        # the sweep kernel keeps the packed scene in VMEM (~16 MB/core);
-        # very large scenes fall back to the XLA cluster traversal
+        # the sweep kernels keep the packed scene in VMEM (~16 MB/core).
+        # "sweep" auto-routes: MXU coefficient blocks ([C, 10, 4Kp], 3.3x
+        # the VPU blocks) while they fit, then the leaner VPU blocks, then
+        # the XLA cluster traversal for very large scenes.
+        coef_bytes = sd.n_clusters * 16 * 4 * sd.cluster_coef.shape[2]
         blocks_bytes = sd.n_clusters * 16 * sd.cluster_k * 4  # 12->16 pad
-        if blocks_bytes > 10 * 1024 * 1024:
+        interp = jax.default_backend() == "cpu"
+        use_mxu = (cfg.traversal == "sweep_mxu"
+                   or (cfg.traversal == "sweep"
+                       and coef_bytes <= 10 * 1024 * 1024))
+        if use_mxu:
+            from ..ops.pallas import cluster_sweep_mxu
+
+            return lambda o, d, e: cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+                o, d, e, sd, interpret=interp
+            )
+        if cfg.traversal == "sweep" and blocks_bytes > 10 * 1024 * 1024:
             from ..ops import cluster_traverse
 
             return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
@@ -82,7 +95,6 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         from ..ops.pallas import cluster_sweep
 
         # CPU backend (tests / virtual meshes) runs the kernel interpreted
-        interp = jax.default_backend() == "cpu"
         return lambda o, d, e: cluster_sweep.nearest_hit_sweep_jnp(
             o, d, e, sd, interpret=interp
         )

@@ -62,6 +62,44 @@ def pack_coefficients(p1: np.ndarray, p2: np.ndarray, p3: np.ndarray) -> np.ndar
     return coef.reshape(t_cnt * 4, 10).T.astype(np.float32).copy()
 
 
+def pack_cluster_coefficients(p1, p2, p3, begin, count, kp) -> np.ndarray:
+    """Per-cluster planar coefficient blocks [C, 10, 4*kp] (numpy, host).
+
+    Same bilinear forms as pack_coefficients but laid out for the Pallas
+    MXU sweep kernel (ops/pallas/cluster_sweep_mxu.py): rows are the 10
+    ray features, columns are four kp-wide planes [a | su | sv | st] so
+    static in-kernel slices stay 128-lane aligned (kp % 32 == 0 => each
+    plane offset is a multiple of 128 bytes of lanes... kp*4 % 128 == 0).
+    Padding columns are all-zero: a = su = sv = st = 0 never passes the
+    strict t-sign test, so pad slots can't hit.
+    """
+    p1 = np.asarray(p1, np.float64)
+    p2 = np.asarray(p2, np.float64)
+    p3 = np.asarray(p3, np.float64)
+    e1 = p2 - p1
+    e2 = p3 - p1
+    n = np.cross(e1, e2)
+    t_cnt = len(p1)
+    coef = np.zeros((t_cnt, 4, 10), np.float64)
+    coef[:, 0, 0:3] = -n
+    coef[:, 1, 0:3] = -np.cross(e2, p1)
+    coef[:, 1, 3:6] = -e2
+    coef[:, 2, 0:3] = -np.cross(p1, e1)
+    coef[:, 2, 3:6] = e1
+    coef[:, 3, 6:9] = n
+    coef[:, 3, 9] = -np.sum(p1 * n, axis=-1)
+    coef = coef.astype(np.float32)
+
+    c = len(begin)
+    out = np.zeros((c, 10, 4 * kp), np.float32)
+    for ci in range(c):
+        b, cnt = int(begin[ci]), int(count[ci])
+        blk = coef[b : b + cnt]                      # [cnt, 4, 10]
+        for j in range(4):
+            out[ci, :, j * kp : j * kp + cnt] = blk[:, j, :].T
+    return out
+
+
 def ray_features(origins, dirs, xp):
     """[M, 10] feature matrix for packed coefficients."""
     w = vm.cross(dirs, origins, xp)

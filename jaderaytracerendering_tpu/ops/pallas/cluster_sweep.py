@@ -114,14 +114,16 @@ def _sweep_kernel(ids_ref, counts_ref, begins_ref, o_ref, d_ref, ex_ref,
         jax.lax.fori_loop(0, n_clusters, visit, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "sort_rays"))
-def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
-                          interpret=False, sort_rays=False):
-    """Pallas cluster-sweep nearest hit. Same contract as the other
-    intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""
+def prepare_tiles(origins, dirs, exclude, sd, tile_m, sort_rays):
+    """Shared host-side (XLA) prep for the sweep kernels: normalize +
+    optionally coherence-sort + pad rays to tile multiples, and build the
+    per-tile active-cluster candidate lists from dense slab tests.
+
+    Returns (origins, dirs_u, exclude, ids, counts, perm, m, mp) where
+    ids is [n_tiles, L+1] int32 (-1 padded) and perm is the applied ray
+    permutation (None when sort_rays=False)."""
     m = origins.shape[0]
     c = sd.n_clusters
-    k = sd.cluster_k
     dirs_u = vm.normalize(dirs, jnp)
 
     perm = None
@@ -184,6 +186,31 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
     ids = jnp.concatenate(
         [ids, jnp.full((n_tiles, 1), -1, jnp.int32)], axis=1
     )
+    return origins, dirs_u, exclude, ids, counts, perm, m, mp
+
+
+def unpermute_results(bt, bi, perm, m):
+    """Scatter sweep results back to caller ray order after sort_rays."""
+    bt = bt[:m, 0]
+    bi = bi[:m, 0]
+    if perm is not None:
+        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(m))
+        bt = bt[inv]
+        bi = bi[inv]
+    return bt < INF, jnp.where(bt < INF, bi, 0), bt
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "sort_rays"))
+def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
+                          interpret=False, sort_rays=False):
+    """Pallas cluster-sweep nearest hit. Same contract as the other
+    intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""
+    c = sd.n_clusters
+    k = sd.cluster_k
+    origins, dirs_u, exclude, ids, counts, perm, m, mp = prepare_tiles(
+        origins, dirs, exclude, sd, tile_m, sort_rays
+    )
+    n_tiles = mp // tile_m
 
     kern = functools.partial(_sweep_kernel, k=k, n_clusters=c)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -215,10 +242,4 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
         interpret=interpret,
     )(ids, counts, sd.cluster_begin, origins, dirs_u, exclude[:, None],
       sd.cluster_tris)
-    bt = bt[:m, 0]
-    bi = bi[:m, 0]
-    if perm is not None:  # scatter results back to caller order
-        inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(m))
-        bt = bt[inv]
-        bi = bi[inv]
-    return bt < INF, jnp.where(bt < INF, bi, 0), bt
+    return unpermute_results(bt, bi, perm, m)

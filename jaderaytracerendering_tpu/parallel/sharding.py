@@ -114,7 +114,7 @@ def _pool_render_sharded(sd, eye, cam_rot, pixel_ids, sample_base,
         base = (jnp.asarray(sample_base, jnp.uint32)
                 + spp_rank.astype(jnp.uint32) * jnp.uint32(spp_local))
         total = ids_.shape[0] * spp_local
-        accum, done, _ = pool_mod._pool_render_impl(
+        accum, done, _, _ = pool_mod._pool_render_impl(
             sd_, eye_, rot_, total, cfg.replace(spp=spp_local),
             min(pool_m, total), base, pixel_ids=ids_,
         )

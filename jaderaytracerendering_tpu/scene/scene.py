@@ -104,6 +104,10 @@ class SceneData:
     # dimension so VMEM tiling stays dense; whole clusters are fetched as
     # contiguous rows instead of per-triangle gathers
     cluster_tris: jax.Array
+    # per-cluster planar MXU coefficients [C, 10, 4*Kp] for the Pallas
+    # MXU sweep kernel (Kp = cluster_k padded to a multiple of 32 so the
+    # four in-kernel planes slice at 128-aligned lane offsets)
+    cluster_coef: jax.Array
     # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
     tri_gemm: jax.Array
     # wide per-triangle table [T, 16] = (p1, p2, p3, norm, obj_as_f32, pad3):
@@ -218,6 +222,10 @@ def assemble(
         ctris[ci, 3:6, :c] = p2[b : b + c].T
         ctris[ci, 6:9, :c] = p3[b : b + c].T
         # padding slots keep degenerate (0,0,0) triangles: never hit
+    cluster_kp = -(-max(cluster_k, 1) // 32) * 32
+    ccoef = gemm_intersect.pack_cluster_coefficients(
+        p1, p2, p3, cl.begin, cl.count, cluster_kp
+    ) if cl.n_clusters else np.zeros((0, 10, 4 * cluster_kp), np.float32)
 
     to = (lambda a, dt=np.float32: xp.asarray(np.ascontiguousarray(a), dt))
     return SceneData(
@@ -247,6 +255,7 @@ def assemble(
         cluster_begin=to(cl.begin, np.int32),
         cluster_count=to(cl.count, np.int32),
         cluster_tris=to(ctris),
+        cluster_coef=to(ccoef),
         tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
         tri_table=to(tri_table),
         mat_table=to(mat_table),

@@ -134,6 +134,66 @@ class TestTraversalEquivalence:
         assert not hs.any()
 
 
+class TestSweepMXU:
+    def test_mxu_interpret_vs_brute(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_mxu
+
+        sdn, sdj = scene
+        o, d, ex = _rays(300, 7)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1,
+                                               sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        np.testing.assert_array_equal(ib[hb], isw[hb])
+        # bf16x3 matmul passes: ~1e-4 absolute on t (measured 1.3e-4 max)
+        np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-3, atol=5e-4)
+
+    def test_mxu_exclusion(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_mxu
+
+        sdn, sdj = scene
+        tri = 5
+        c = (sdn.tri_p1[tri] + sdn.tri_p2[tri] + sdn.tri_p3[tri]) / 3
+        n = sdn.tri_norm[tri]
+        o = np.tile((c + n * 0.05)[None], (8, 1)).astype(np.float32)
+        d = np.tile((-n)[None], (8, 1)).astype(np.float32)
+        ex = np.full(8, tri, np.int32)
+        hs, isw, _ = map(np.asarray, cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert ((~hs) | (isw != tri)).all()
+
+    def test_mxu_zero_direction_rays_miss(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_mxu
+
+        _, sdj = scene
+        o = np.zeros((16, 3), np.float32)
+        d = np.zeros((16, 3), np.float32)
+        ex = np.full(16, -1, np.int32)
+        hs, _, _ = map(np.asarray, cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert not hs.any()
+
+    def test_coef_blocks_match_gemm_pack(self, scene):
+        """Planar cluster coefficients == tri_gemm columns, re-laid-out."""
+        sdn, _ = scene
+        kp = sdn.cluster_coef.shape[2] // 4
+        ci = 0
+        b, c = int(sdn.cluster_begin[ci]), int(sdn.cluster_count[ci])
+        blk = np.asarray(sdn.cluster_coef[ci])          # [10, 4*kp]
+        ref = np.asarray(sdn.tri_gemm)                  # [10, 4*T]
+        for j in range(4):
+            np.testing.assert_allclose(
+                blk[:, j * kp : j * kp + c],
+                ref[:, 4 * b + j : 4 * (b + c) : 4],
+            )
+        for j in range(4):
+            assert (blk[:, j * kp + c : (j + 1) * kp] == 0).all()
+
+
 def test_sweep2_interpret_vs_brute(scene):
     from jaderaytracerendering_tpu.ops.pallas import cluster_sweep2
 
