@@ -101,12 +101,11 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         finished = (active & ~accept) | depth_capped
         still = accept & ~depth_capped
 
-        # ---- bank finished paths ----
+        # ---- bank finished paths (scatter merged with sky misses below:
+        # one 2M-update scatter costs ~2/3 of two M-update ones) ----
         l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
         contrib = jnp.where(finished[:, None], l_final, 0.0)
-        accum = accum.at[jnp.where(finished, slot, npix)].add(
-            contrib, mode="drop"
-        )
+        slot_done = jnp.where(finished, slot, npix)
         done = done + jnp.sum(finished.astype(jnp.int64))
 
         # ---- respawn freed lanes on fresh samples ----
@@ -116,15 +115,18 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         n_rays = n_rays0 + jnp.sum(active.astype(jnp.int64)) * (sd.n_emit + 2)
         n_rays = n_rays + jnp.sum(got.astype(jnp.int64))
         o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
-        sky = envmap.sample_env(sd.env_map, _unit(d, jnp), jnp,
-                                clamp=cfg.hdr_clamp)
+        sky = envmap.sample_env_sd(sd, _unit(d, jnp), jnp,
+                                   clamp=cfg.hdr_clamp)
         row0 = _tri_rows(sd, jnp.where(p_hit, p_idx, 0))
         p_le = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(jnp.int32),
                          jnp)[:, scene_mod.MAT_EMISSIVE]
         # sky misses complete immediately
         miss = got & ~p_hit
-        accum = accum.at[jnp.where(miss, slot, npix)].add(
-            jnp.where(miss[:, None], sky, 0.0), mode="drop"
+        accum = accum.at[
+            jnp.concatenate([slot_done, jnp.where(miss, slot, npix)])
+        ].add(
+            jnp.concatenate([contrib, jnp.where(miss[:, None], sky, 0.0)]),
+            mode="drop",
         )
         done = done + jnp.sum(miss.astype(jnp.int64))
         started = got & p_hit

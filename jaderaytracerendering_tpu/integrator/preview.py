@@ -30,7 +30,7 @@ def trace_preview(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     d_unit = _unit(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
     hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
-    sky0 = envmap.sample_env(sd.env_map, d_unit, xp, clamp=cfg.hdr_clamp)
+    sky0 = envmap.sample_env_sd(sd, d_unit, xp, clamp=cfg.hdr_clamp)
 
     row0 = _tri_rows(sd, xp.where(hit0, idx0, 0))
     le0 = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(xp.int32), xp)[
@@ -66,7 +66,7 @@ def trace_preview(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         f_r = brdf * (1.0 / PI)
         weight = f_r * cos_i * (2.0 * PI)  # / pdf = * 2pi
 
-        sky = envmap.sample_env(sd.env_map, _unit(wi, xp), xp, clamp=cfg.hdr_clamp)
+        sky = envmap.sample_env_sd(sd, _unit(wi, xp), xp, clamp=cfg.hdr_clamp)
         miss = active & ~hit
         lo = lo + xp.where(miss[..., None], history * sky * weight, 0.0)
         lo = lo + xp.where((active & hit)[..., None], history * n_emis * weight, 0.0)

@@ -344,7 +344,7 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         l_dir = l_dir + xp.where(ok[..., None], contrib, 0.0).sum(axis=1)
 
     # ---- NEE environment ----
-    sky = envmap.sample_env(sd.env_map, _unit(hdir, xp), xp, clamp=cfg.hdr_clamp)
+    sky = envmap.sample_env_sd(sd, _unit(hdir, xp), xp, clamp=cfg.hdr_clamp)
     cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
     env_entry = sky * xp.where(sss_entry[..., None], fr_alb, fr) * cos_h * (2.0 * PI)
     if sd.has_sss:
@@ -402,7 +402,7 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
 
     # ---- break values ----
     # mirror / dirref miss-to-sky terms (cu:1396, 1254)
-    sky_c = envmap.sample_env(sd.env_map, cdir_u, xp, clamp=cfg.hdr_clamp)
+    sky_c = envmap.sample_env_sd(sd, cdir_u, xp, clamp=cfg.hdr_clamp)
     mirror_sky = sky_c * rate_mirror
     dirref_sky = sky_c * ref_rate * (k / cfg.rr_rate)
     break_val = l_dir  # diffuse / entry / exit keep their NEE sum
@@ -469,7 +469,7 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     d_unit = _unit(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
     hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
-    sky0 = envmap.sample_env(sd.env_map, d_unit, xp, clamp=cfg.hdr_clamp)
+    sky0 = envmap.sample_env_sd(sd, d_unit, xp, clamp=cfg.hdr_clamp)
     row0 = _tri_rows(sd, xp.where(hit0, idx0, 0))
     le0 = _mat_rows(
         sd, row0[:, scene_mod.TRI_OBJ].astype(xp.int32), xp

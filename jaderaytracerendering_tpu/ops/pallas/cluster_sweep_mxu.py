@@ -113,7 +113,7 @@ def _sweep_mxu_kernel(ids_ref, counts_ref, begins_ref, f_ref, ex_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "sort_rays"))
-def nearest_hit_sweep_mxu_jnp(origins, dirs, exclude, sd, tile_m=128,
+def nearest_hit_sweep_mxu_jnp(origins, dirs, exclude, sd, tile_m=256,
                               interpret=False, sort_rays=False):
     """MXU cluster-sweep nearest hit. Same contract as the other
     intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""

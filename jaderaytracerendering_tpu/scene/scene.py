@@ -28,6 +28,7 @@ import numpy as np
 from ..accel import bvh as bvh_mod
 from ..core import vecmath
 from ..ops import gemm_intersect
+from . import envmap as envmap_mod
 from . import material as material_mod
 from .objloader import MeshData
 
@@ -119,6 +120,9 @@ class SceneData:
     mat_table: jax.Array
     # environment
     env_map: jax.Array            # [He, We, 3] float32
+    # pre-packed 2x2 bilinear rows [(He+1)*(We+1), 16] (envmap.pack_bilinear):
+    # one wide-row gather per sample instead of four scattered ones
+    env_pack: jax.Array
 
     # ---- static metadata (compile-time specialization) ----
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
@@ -260,6 +264,7 @@ def assemble(
         tri_table=to(tri_table),
         mat_table=to(mat_table),
         env_map=to(env_map),
+        env_pack=to(envmap_mod.pack_bilinear(np.asarray(env_map, np.float32), np)),
         n_triangles=t,
         n_objects=len(objects),
         n_emit=int(len(emit_idx)),

@@ -142,6 +142,36 @@ class TestEnvmap:
         c = np.asarray(envmap.sample_env(xp.asarray(img), d, xp))
         np.testing.assert_allclose(c, 10.0)
 
+    def test_packed_matches_plain_bitwise(self, xp):
+        img = hdr.procedural_sky(16, 32)
+        pack = envmap.pack_bilinear(img, np)
+        rng = np.random.default_rng(7)
+        d = rng.normal(size=(500, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        # force the border cases the raw-index table exists for: seam
+        # (u ~ 0/1), poles (v ~ 0/1), and axis-aligned directions
+        extra = np.array([[0, 1, 0], [0, -1, 0], [-1, 0, 0], [1, 0, 0],
+                          [0, 0, 1], [0, 0, -1], [-1, 0, -1e-6],
+                          [-1, 0, 1e-6]], np.float32)
+        extra /= np.linalg.norm(extra, axis=-1, keepdims=True)
+        d = np.concatenate([d, extra])
+        a = envmap.sample_env(xp.asarray(img), xp.asarray(d), xp)
+        b = envmap.sample_env_packed(xp.asarray(pack), img.shape[:2],
+                                     xp.asarray(d), xp)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sample_env_sd_uses_pack(self, xp):
+        from jaderaytracerendering_tpu.models import demo as demo_mod
+        from jaderaytracerendering_tpu.scene.scene import assemble
+        ds = demo_mod.tiny_scene()
+        sd = assemble(ds.objects, ds.env_map, xp=xp)
+        rng = np.random.default_rng(8)
+        d = rng.normal(size=(64, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        a = envmap.sample_env_sd(sd, xp.asarray(d), xp)
+        b = envmap.sample_env(xp.asarray(ds.env_map), xp.asarray(d), xp)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_numpy_jax_agree(self, xp):
         del xp
         img = hdr.procedural_sky(16, 32)
