@@ -130,3 +130,127 @@ def area_cdf_pick(u, obj_id, prefix_area, obj_total_area, seg_begin, seg_end,
         # where the first branch wins
         left = xp.where(go & ~le, m, left)
     return mapping[middle]
+
+
+# ---- table-driven exact replacement for area_cdf_pick ------------------
+#
+# Every comparison the bisection makes is `target <= prefix[m]`, which
+# (prefix is monotone within a segment) equals `j <= m` for
+# j = min{i : prefix[i] >= target}. The whole search path — and so the
+# quirky "final middle" result — is therefore a pure integer function
+# F(clip(j, l0+1, r0)) of j that can be simulated per triangle at
+# assembly time. At trace time only j is data-dependent, and it resolves
+# with TWO wide gathers instead of ~16 sequential scalar ones (~30 us of
+# launch overhead each on the axon runtime):
+#   1. a per-object bucket table over u in [0,1): floor(u * NB) is exact
+#      for NB a power of two, giving a [jlo, jhi] bracket of width <= 15
+#      (NB is grown at build time until that holds);
+#   2. one row of a sliding-window table holding the <=15 candidate
+#      prefix values plus the precomputed mapping[F(j)] answers; a masked
+#      compare-count picks j and a one-hot dot picks the answer.
+
+CDF_WINDOW = 16
+
+
+def build_area_cdf_tables(prefix_area, obj_total_area, seg_begin, seg_end,
+                          mapping, nb: int = 1 << 14, nb_max: int = 1 << 20):
+    """Host-side (numpy) tables for area_cdf_pick_fast.
+
+    Returns (bucket [O*NB, 2] int32, window [T, 32] float32, NB), or
+    (None, None, 0) if no power-of-two NB <= nb_max brackets every bucket
+    within the window width (pathological area distributions)."""
+    import numpy as np
+
+    p = np.asarray(prefix_area, np.float32)
+    total = np.asarray(obj_total_area, np.float32)
+    seg_begin = np.asarray(seg_begin, np.int64)
+    seg_end = np.asarray(seg_end, np.int64)
+    t_cnt = len(p)
+    n_obj = len(total)
+    assert t_cnt < (1 << 24), "window table stores ids as f32"
+
+    # --- F(j): simulate the integer bisection per object, all j at once
+    exit_sorted = np.zeros(t_cnt + 1, np.int32)  # indexed by global j
+    mapping = np.asarray(mapping, np.int32)
+    for o in range(n_obj):
+        l0, r0 = int(seg_begin[o]), int(seg_end[o])
+        jc = np.arange(l0 + 1, r0 + 1, dtype=np.int64)  # clipped j range
+        left = np.full_like(jc, l0)
+        right = np.full_like(jc, r0)
+        middle = np.zeros_like(jc)
+        while True:
+            go = left < right - 1
+            if not go.any():
+                break
+            m = (left + right) // 2
+            middle = np.where(go, m, middle)
+            le = jc <= m
+            right = np.where(go & le, m, right)
+            left = np.where(go & ~le, m, left)
+        if r0 > l0:
+            exit_sorted[l0 + 1 : r0 + 1] = mapping[middle]
+        # j == l0 can't occur (target > 0 = prefix "before" the segment),
+        # but keep the clip-low answer defined anyway
+        exit_sorted[l0] = mapping[middle[0]] if r0 > l0 else mapping[0]
+
+    # --- per-object j at the f32 bucket edges
+    while True:
+        edges = np.arange(nb + 1, dtype=np.float64) / nb
+        lo_u = edges[:-1].astype(np.float32)
+        hi_u = np.nextafter(edges[1:].astype(np.float32), np.float32(0.0),
+                            dtype=np.float32)
+        bucket = np.zeros((n_obj, nb, 2), np.int32)
+        width_ok = True
+        for o in range(n_obj):
+            l0, r0 = int(seg_begin[o]), int(seg_end[o])
+            seg = p[l0 : r0 + 1]
+            t_lo = (lo_u * total[o]).astype(np.float32)
+            t_hi = (hi_u * total[o]).astype(np.float32)
+            jlo = l0 + np.searchsorted(seg, t_lo, side="left")
+            jhi = l0 + np.searchsorted(seg, t_hi, side="left")
+            jlo = np.clip(jlo, l0 + 1, r0)
+            jhi = np.clip(jhi, l0 + 1, r0)
+            bucket[o, :, 0] = jlo
+            bucket[o, :, 1] = jhi
+            if (jhi - jlo).max(initial=0) > CDF_WINDOW - 1:
+                width_ok = False
+        if width_ok:
+            break
+        nb *= 4
+        if nb > nb_max:
+            return None, None, 0
+
+    # --- sliding windows: prefix values + pre-clipped answers per j
+    win = np.zeros((t_cnt, 2 * CDF_WINDOW), np.float32)
+    pad_p = np.concatenate([p, np.full(CDF_WINDOW, np.inf, np.float32)])
+    pad_a = np.concatenate(
+        [exit_sorted, np.zeros(CDF_WINDOW, np.int32)]
+    ).astype(np.float32)
+    for k in range(CDF_WINDOW):
+        win[:, k] = pad_p[k : k + t_cnt]
+        win[:, CDF_WINDOW + k] = pad_a[k : k + t_cnt]
+    return bucket.reshape(n_obj * nb, 2), win, nb
+
+
+def area_cdf_pick_fast(u, obj_id, sd, xp):
+    """Exact table-driven area_cdf_pick (see build_area_cdf_tables)."""
+    nb = sd.sss_nb
+    b = xp.clip((u * nb).astype(xp.int32), 0, nb - 1)
+    brow = sd.sss_bucket[obj_id * nb + b]               # [M, 2]
+    jlo, jhi = brow[..., 0], brow[..., 1]
+    target = u * sd.obj_total_area[obj_id]
+    wrow = sd.sss_window[jlo]                           # [M, 32]
+    k = xp.arange(CDF_WINDOW, dtype=xp.int32)
+    # j = jlo + #(prefix[i] < target) for i in [jlo, jhi); window col k
+    # holds prefix[jlo + k]
+    cnt = xp.sum(
+        ((k[None, :] < (jhi - jlo)[..., None])
+         & (wrow[..., :CDF_WINDOW] < target[..., None])).astype(xp.int32),
+        axis=-1,
+    )
+    picked = xp.sum(
+        xp.where(k[None, :] == cnt[..., None],
+                 wrow[..., CDF_WINDOW:], 0.0),
+        axis=-1,
+    )
+    return picked.astype(xp.int32)

@@ -182,10 +182,15 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         import math
 
         n_bisect = max(2, int(math.ceil(math.log2(max(sd.n_triangles, 2)))) + 1)
-        exit_tri = sampling.area_cdf_pick(
-            u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
-            sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
-        )
+        if sd.sss_nb:
+            # exact table-driven pick: 2 wide gathers instead of ~16
+            # sequential scalar ones (see sampling.build_area_cdf_tables)
+            exit_tri = sampling.area_cdf_pick_fast(u(S.AREA_CDF), obj, sd, xp)
+        else:
+            exit_tri = sampling.area_cdf_pick(
+                u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
+                sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
+            )
         exit_tri = xp.where(sss_exit, exit_tri, 0)
         erow = _tri_rows(sd, exit_tri)
         exit_point = sampling.triangle_point(

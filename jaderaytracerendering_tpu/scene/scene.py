@@ -123,6 +123,12 @@ class SceneData:
     # pre-packed 2x2 bilinear rows [(He+1)*(We+1), 16] (envmap.pack_bilinear):
     # one wide-row gather per sample instead of four scattered ones
     env_pack: jax.Array
+    # table-driven BSSRDF exit sampling (sampling.build_area_cdf_tables):
+    # per-object u-bucket brackets [O*NB, 2] i32 + sliding windows [T, 32]
+    # (prefix values | precomputed mapping[F(j)] answers); empty when the
+    # scene has no SSS material or the distribution defeated bucketing
+    sss_bucket: jax.Array
+    sss_window: jax.Array
 
     # ---- static metadata (compile-time specialization) ----
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
@@ -136,6 +142,7 @@ class SceneData:
     max_leaf_items: int = dataclasses.field(metadata=dict(static=True))
     n_clusters: int = dataclasses.field(metadata=dict(static=True))
     cluster_k: int = dataclasses.field(metadata=dict(static=True))
+    sss_nb: int = dataclasses.field(metadata=dict(static=True))
 
 
 def assemble(
@@ -231,6 +238,19 @@ def assemble(
         p1, p2, p3, cl.begin, cl.count, cluster_kp
     ) if cl.n_clusters else np.zeros((0, 10, 4 * cluster_kp), np.float32)
 
+    has_sss = bool((refract_modes == material_mod.SUB_SURFACE).any())
+    sss_bucket = np.zeros((0, 2), np.int32)
+    sss_window = np.zeros((0, 32), np.float32)
+    sss_nb = 0
+    if has_sss:
+        from ..integrator import sampling as sampling_mod
+
+        bkt, win, sss_nb = sampling_mod.build_area_cdf_tables(
+            prefix_area, obj_total_area, seg_begin, seg_end, mapping
+        )
+        if sss_nb:
+            sss_bucket, sss_window = bkt, win
+
     to = (lambda a, dt=np.float32: xp.asarray(np.ascontiguousarray(a), dt))
     return SceneData(
         tri_p1=to(p1), tri_p2=to(p2), tri_p3=to(p3), tri_norm=to(norm),
@@ -265,15 +285,18 @@ def assemble(
         mat_table=to(mat_table),
         env_map=to(env_map),
         env_pack=to(envmap_mod.pack_bilinear(np.asarray(env_map, np.float32), np)),
+        sss_bucket=to(sss_bucket, np.int32),
+        sss_window=to(sss_window),
         n_triangles=t,
         n_objects=len(objects),
         n_emit=int(len(emit_idx)),
         n_nodes=nodes.n_nodes,
         leaf_size=leaf_size,
-        has_sss=bool((refract_modes == material_mod.SUB_SURFACE).any()),
+        has_sss=has_sss,
         has_refract=bool((refract_modes == material_mod.DIR_REFRACT).any()),
         has_mirror=bool((reflex_modes == material_mod.MIRROR).any()),
         max_leaf_items=int(nodes.n.max()) if nodes.n_nodes else 0,
         n_clusters=cl.n_clusters,
         cluster_k=cluster_k,
+        sss_nb=sss_nb,
     )

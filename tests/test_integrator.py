@@ -115,6 +115,64 @@ class TestSampling:
         assert tir[0]
         np.testing.assert_allclose(out, g, atol=1e-6)  # returned unchanged
 
+    def test_area_cdf_fast_matches_bisection(self):
+        """Table-driven pick == the reference bisection, exactly — incl.
+        crafted ties (targets on prefix values), zero-area triangles,
+        permuted mapping, and 1/2-triangle segment quirks."""
+        import math
+
+        rng_ = np.random.default_rng(11)
+
+        class _SD:
+            pass
+
+        def build(areas_per_obj):
+            seg_b, seg_e, prefix, totals = [], [], [], []
+            base = 0
+            for areas in areas_per_obj:
+                n = len(areas)
+                seg_b.append(base)
+                seg_e.append(base + n - 1)
+                pa = np.cumsum(np.asarray(areas, np.float64)).astype(np.float32)
+                prefix.append(pa)
+                totals.append(pa[-1])
+                base += n
+            sd = _SD()
+            sd.prefix_area = np.concatenate(prefix)
+            sd.obj_total_area = np.asarray(totals, np.float32)
+            sd.seg_begin = np.asarray(seg_b, np.int32)
+            sd.seg_end = np.asarray(seg_e, np.int32)
+            sd.mapping = rng_.permutation(len(sd.prefix_area)).astype(np.int32)
+            bkt, win, nb = sampling.build_area_cdf_tables(
+                sd.prefix_area, sd.obj_total_area, sd.seg_begin, sd.seg_end,
+                sd.mapping)
+            assert nb
+            sd.sss_bucket, sd.sss_window, sd.sss_nb = bkt, win, nb
+            return sd
+
+        zero_runs = np.ones(300)
+        zero_runs[::7] = 0.0
+        for areas in ([rng_.random(800) + 0.01, [1.0, 2.0], [3.0]],
+                      [np.ones(1000)], [zero_runs, np.ones(2)]):
+            sd = build(areas)
+            n_obj = len(sd.obj_total_area)
+            u = rng_.random(20000).astype(np.float32)
+            for o in range(n_obj):
+                pv = sd.prefix_area[sd.seg_begin[o] : sd.seg_end[o] + 1]
+                ue = (pv.astype(np.float64)
+                      / float(sd.obj_total_area[o])).astype(np.float32)
+                ue = ue[(ue >= 0) & (ue < 1)]
+                u = np.concatenate([u, ue, np.nextafter(ue, 0),
+                                    np.nextafter(ue, 1)])
+            obj = rng_.integers(0, n_obj, len(u)).astype(np.int32)
+            n_bis = max(2, int(math.ceil(
+                math.log2(max(len(sd.prefix_area), 2)))) + 1)
+            ref = sampling.area_cdf_pick(
+                u, obj, sd.prefix_area, sd.obj_total_area, sd.seg_begin,
+                sd.seg_end, sd.mapping, np, n_iters=n_bis)
+            fast = sampling.area_cdf_pick_fast(u, obj, sd, np)
+            np.testing.assert_array_equal(ref, fast)
+
     def test_bssrdf_positive_decreasing(self):
         s = np.array([[0.1, 0.1, 0.1]], np.float32)
         b1 = sampling.bssrdf(np.array([0.05], np.float32), s, np)
