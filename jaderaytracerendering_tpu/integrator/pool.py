@@ -33,6 +33,7 @@ import numpy as np
 
 from ..core import camera as camera_mod
 from ..core.film import Film
+from ..ops import scanops
 from ..scene import envmap, scene as scene_mod
 from ..utils.config import RenderConfig
 from . import render as render_mod, wavefront
@@ -53,7 +54,9 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
 
     def spawn(fresh, next_sample, slot, pix, smp):
         """Assign queue samples to fresh lanes -> updated ids + masks."""
-        k = jnp.cumsum(fresh.astype(jnp.int32))
+        # MXU matmul cumsum: XLA's log2(M)-pass scan cost ~14 kernel
+        # launches (~30us each) per bounce at M=16k (ops/scanops.py)
+        k = scanops.cumsum_indicator(fresh, jnp)
         sample_index = next_sample + (k - 1).astype(jnp.int64)
         got = fresh & (sample_index < total_samples)
         new_slot = (sample_index % npix).astype(jnp.uint32)

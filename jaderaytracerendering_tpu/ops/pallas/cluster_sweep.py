@@ -171,10 +171,16 @@ def prepare_tiles(origins, dirs, exclude, sd, tile_m, sort_rays):
     ray_ok = jnp.sum(jnp.abs(dirs_u), axis=-1) > 0
     hits_box = (t1v >= t0v) & dist_pos & ray_ok[:, None]
     active = hits_box.reshape(n_tiles, tile_m, c).any(axis=1)  # [tiles, C]
-    counts = active.sum(axis=1).astype(jnp.int32)  # [tiles]
     l_list = min(c, L_MAX)
-    # pack active cluster ids to the front via cumsum scatter (no argsort)
-    pos = jnp.cumsum(active.astype(jnp.int32), axis=1)
+    # pack active cluster ids to the front via cumsum scatter (no argsort).
+    # The cumsum runs as ONE MXU matmul against a triangular ones matrix
+    # instead of XLA's ~log2(C)-pass scan (each pass is a ~30us kernel
+    # launch on the axon runtime): 0/1 inputs are exact in bf16 and the
+    # f32 accumulation makes integer sums exact.
+    triu = jnp.triu(jnp.ones((c, c), jnp.float32))
+    pos = jnp.dot(active.astype(jnp.float32), triu,
+                  preferred_element_type=jnp.float32).astype(jnp.int32)
+    counts = pos[:, -1]  # == active.sum(axis=1)
     slot = jnp.where(active & (pos <= l_list), pos - 1, l_list)
     rows = jnp.arange(n_tiles, dtype=jnp.int32)[:, None]
     cols = jnp.broadcast_to(jnp.arange(c, dtype=jnp.int32)[None, :],

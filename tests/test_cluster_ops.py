@@ -194,6 +194,21 @@ class TestSweepMXU:
             assert (blk[:, j * kp + c : (j + 1) * kp] == 0).all()
 
 
+def test_cumsum_indicator_exact():
+    from jaderaytracerendering_tpu.ops import scanops
+
+    rng = np.random.default_rng(3)
+    for m in (1, 7, 128, 129, 1000, 16384):
+        x = jnp.asarray(rng.random(m) < 0.3)
+        a = np.asarray(jnp.cumsum(x.astype(jnp.int32)))
+        b = np.asarray(scanops.cumsum_indicator(x))
+        np.testing.assert_array_equal(a, b)
+    # numpy backend falls through to xp.cumsum
+    xn = rng.random(50) < 0.5
+    np.testing.assert_array_equal(
+        scanops.cumsum_indicator(xn, np), np.cumsum(xn.astype(np.int32)))
+
+
 def test_sweep2_interpret_vs_brute(scene):
     from jaderaytracerendering_tpu.ops.pallas import cluster_sweep2
 
