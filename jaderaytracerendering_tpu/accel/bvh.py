@@ -171,6 +171,24 @@ def build(
     return nodes, order
 
 
+def tree_depth(nodes: BVHArrays) -> int:
+    """Max levels from the root (leaf-only tree = 1). The stackful
+    traversal (ops.traverse) pops one node and pushes at most two per
+    step, so its worst-case stack occupancy is depth + 1 — callers
+    validate bvh_stack_size against this instead of silently dropping
+    children on overflow."""
+    if nodes.n_nodes <= 1:
+        return 0
+    depth = 0
+    frontier = np.array([1], np.int64)
+    while frontier.size:
+        depth += 1
+        inner = frontier[nodes.n[frontier] == 0]
+        frontier = np.concatenate([nodes.left[inner], nodes.right[inner]])
+        frontier = frontier[frontier > 0]
+    return depth
+
+
 def check_invariants(nodes: BVHArrays, n_triangles: int, leaf_size: int = 8) -> None:
     """Assert structural invariants (SURVEY §4): leaf ranges partition
     [0, N), children boxes are contained in parents, every node reachable

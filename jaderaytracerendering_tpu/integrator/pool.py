@@ -57,7 +57,8 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         # MXU matmul cumsum: XLA's log2(M)-pass scan cost ~14 kernel
         # launches (~30us each) per bounce at M=16k (ops/scanops.py)
         k = scanops.cumsum_indicator(fresh, jnp)
-        sample_index = next_sample + (k - 1).astype(jnp.int64)
+        # int32 throughout: render_film_pool asserts < 2^31 samples/call
+        sample_index = next_sample + (k - 1).astype(jnp.int32)
         got = fresh & (sample_index < total_samples)
         new_slot = (sample_index % npix).astype(jnp.uint32)
         slot = jnp.where(got, new_slot, slot)
@@ -72,7 +73,7 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             smp,
         )
         consumed = jnp.minimum(
-            jnp.asarray(k[-1], jnp.int64), total_samples - next_sample
+            jnp.asarray(k[-1], jnp.int32), total_samples - next_sample
         )
         return got, next_sample + consumed, slot, pix, smp
 
@@ -109,14 +110,16 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
         contrib = jnp.where(finished[:, None], l_final, 0.0)
         slot_done = jnp.where(finished, slot, npix)
-        done = done + jnp.sum(finished.astype(jnp.int64))
+        done = done + jnp.sum(finished.astype(jnp.int32))
 
         # ---- respawn freed lanes on fresh samples ----
         fresh = ~still & ~active | finished  # idle or just finished
         got, next_sample, slot, pix, smp = spawn(fresh, next_sample, slot,
                                                  pix, smp)
-        n_rays = n_rays0 + jnp.sum(active.astype(jnp.int64)) * (sd.n_emit + 2)
-        n_rays = n_rays + jnp.sum(got.astype(jnp.int64))
+        # metric-only counter in f32: can exceed 2^31 on big renders and is
+        # never exact-compared (ulp error ~1e-7 relative at 2^31)
+        n_rays = n_rays0 + jnp.sum(active.astype(jnp.float32)) * (sd.n_emit + 2)
+        n_rays = n_rays + jnp.sum(got.astype(jnp.float32))
         o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
         sky = envmap.sample_env_sd(sd, _unit(d, jnp), jnp,
                                    clamp=cfg.hdr_clamp)
@@ -131,7 +134,7 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             jnp.concatenate([contrib, jnp.where(miss[:, None], sky, 0.0)]),
             mode="drop",
         )
-        done = done + jnp.sum(miss.astype(jnp.int64))
+        done = done + jnp.sum(miss.astype(jnp.int32))
         started = got & p_hit
 
         active = still | started
@@ -159,11 +162,11 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         jnp.zeros(m, jnp.uint32),  # slot
         jnp.zeros(m, jnp.uint32),  # pix (global)
         jnp.zeros(m, jnp.uint32),  # smp
-        jnp.int64(0),
-        jnp.int64(0),
+        jnp.int32(0),
+        jnp.int32(0),
         jnp.zeros((npix + 1, 3), jnp.float32),  # +1 drop row
         jnp.int32(0),
-        jnp.int64(0),  # useful-ray counter
+        jnp.float32(0),  # useful-ray counter (metric only)
     )
 
     def cond(carry):
@@ -197,9 +200,8 @@ def render_film_pool(sd, cam, cfg: RenderConfig,
         film = Film.create(cfg.height, cfg.width)
     eye = jnp.asarray(cam.eye, jnp.float32)
     rot = jnp.asarray(cam.camera_rotate, jnp.float32)
-    # without jax_enable_x64 the int64 queue counters silently truncate
-    # to int32; one pool call must stay under 2^31 samples (a 64k-pixel
-    # film tile allows spp up to ~32k)
+    # queue counters are int32 by design; one pool call must stay under
+    # 2^31 samples (a 64k-pixel film tile allows spp up to ~32k)
     assert FILM_TILE * cfg.spp < 2**31, "spp too large for one pool pass"
 
     if npix <= FILM_TILE:

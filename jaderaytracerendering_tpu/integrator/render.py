@@ -36,6 +36,11 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
             o, d, e, sd.tri_p1, sd.tri_p2, sd.tri_p3
         )
     if cfg.traversal == "bvh":
+        # overflow would silently drop the near child -> wrong nearest hit
+        assert cfg.bvh_stack_size >= sd.bvh_depth + 1, (
+            f"bvh_stack_size={cfg.bvh_stack_size} < tree depth "
+            f"{sd.bvh_depth} + 1; raise RenderConfig.bvh_stack_size"
+        )
         if xp is np:
             return lambda o, d, e: traverse.nearest_hit_bvh_np(
                 o, d, e, sd, stack_size=cfg.bvh_stack_size

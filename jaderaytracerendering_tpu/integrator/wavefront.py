@@ -377,7 +377,10 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     c_obj_em = _mat_rows(
         sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp
     )[:, MAT.MAT_EMISSIVE]
-    c_nonemit = ~_any3(c_obj_em, EMIT_SKIP_EPS, xp)
+    # strict (em < eps).all(), matching the oracle / reference (cu:1005
+    # region; cpuref lines 141/188/273): a channel exactly AT the
+    # threshold rejects continuation
+    c_nonemit = (c_obj_em < EMIT_SKIP_EPS).all(axis=-1)
     accept = alive & rr_ok & c_hit & xp.where(
         is_mirror | is_dirref, True, c_nonemit
     )
@@ -493,13 +496,13 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     if xp is jnp:
         def body(carry, b):
             st, nrays = carry
-            live = jnp.sum(st[0].astype(jnp.int64))
+            live = jnp.sum(st[0].astype(jnp.float32))
             st, ys = bounce_step(st, b, pixel_id, sample_id, sd, cfg, jnp,
                                  nearest_fn)
             return (st, nrays + live * rays_per_lane), ys
 
         (state, n_rays), (dir_ys, rate_ys) = jax.lax.scan(
-            body, (state, jnp.int64(m)),
+            body, (state, jnp.float32(m)),
             jnp.arange(cfg.max_depth, dtype=jnp.uint32),
         )
     else:

@@ -108,10 +108,19 @@ def _ray_aabb(origins, dirs, aa, bb, xp):
     invdir = 1.0 / dirs
     f = (bb - origins) * invdir
     n = (aa - origins) * invdir
-    tmax = xp.maximum(f, n)
-    tmin = xp.minimum(f, n)
-    t1 = xp.min(tmax, axis=-1)
-    t0 = xp.max(tmin, axis=-1)
+    # 0 * inf -> NaN when a zero-direction ray starts exactly on a slab
+    # plane. The reference's vec3 max/min are ternaries (a > b ? a : b,
+    # PathTrace.cu:484-494) and its scalar reductions fminf/fmaxf DROP
+    # NaN operands (PathTrace.cu:766-767), so a NaN axis falls out of
+    # both reductions: a ray on the AA plane ignores that slab (hit via
+    # the other axes) while one on the BB plane misses. jnp/np min/max
+    # propagate NaN (always-miss) — reproduce the reference exactly:
+    # where() matches the ternary, the isnan() replacement the fminf.
+    tmax = xp.where(f > n, f, n)
+    tmin = xp.where(f < n, f, n)
+    pinf = xp.asarray(xp.inf, f.dtype)
+    t1 = xp.min(xp.where(xp.isnan(tmax), pinf, tmax), axis=-1)
+    t0 = xp.max(xp.where(xp.isnan(tmin), -pinf, tmin), axis=-1)
     dist = xp.where(t1 >= t0, xp.where(t0 > 0.0, t0, t1), -1.0)
     enter = xp.maximum(t0, 0.0)
     return enter, dist

@@ -167,15 +167,18 @@ def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
     eye = jnp.asarray(cam.eye, jnp.float32)
     rot = jnp.asarray(cam.camera_rotate, jnp.float32)
 
-    sppb = max(1, min(cfg.spp_batch, cfg.spp))
-    per_pass = sppb * n_spp
+    assert cfg.spp % n_spp == 0, "spp must divide the mesh spp axis"
+    sppb = max(1, min(cfg.spp_batch, cfg.spp // n_spp))
     accum = film.accum.reshape(-1, 3)
     done = 0
     while done < cfg.spp:
+        # clamp the last pass so exactly cfg.spp samples are rendered
+        # (remaining stays a multiple of n_spp by induction)
+        step = min(sppb, (cfg.spp - done) // n_spp)
         out = render_batch_sharded(
-            sd, eye, rot, pixel_ids, film.count + done, cfg, sppb, mesh
+            sd, eye, rot, pixel_ids, film.count + done, cfg, step, mesh
         )
         accum = accum + out[:npix]
-        done += per_pass
+        done += step * n_spp
     return Film(accum=accum.reshape(cfg.height, cfg.width, 3),
                 count=film.count + done)

@@ -279,6 +279,10 @@ static int64_t parse_obj_impl(const char* path, double* verts, int64_t* faces,
         idx[cnt++] = v;
         while (*tok && *tok != ' ' && *tok != '\t' && *tok != '\n') ++tok;
       }
+      // compat mode: the reference reads exactly three ints per face
+      // record (PathTrace.cpp:403-423), so a slash-replaced
+      // 'f a/b/c d/e/f g/h/i' collapses to ONE triangle (a, b, c)
+      if (compat_slash && cnt > 3) cnt = 3;
       for (int ki = 1; ki + 1 < cnt; ++ki) {
         if (faces) {
           if (nf >= fcap) { std::fclose(fp); return -1; }

@@ -69,6 +69,11 @@ def parse_obj_text(
                 idx.append(v)
             if len(idx) < 3:
                 raise ValueError(f"face with <3 vertices: {raw!r}")
+            if compat_slash_faces:
+                # the reference reads exactly three ints per face record
+                # (PathTrace.cpp:403-423), so a slash-replaced
+                # 'f a/b/c d/e/f g/h/i' collapses to ONE triangle (a,b,c)
+                idx = idx[:3]
             # fan-triangulate polygons (reference reads exactly 3)
             for k in range(1, len(idx) - 1):
                 tri = (idx[0], idx[k], idx[k + 1])

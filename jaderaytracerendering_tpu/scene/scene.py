@@ -143,6 +143,9 @@ class SceneData:
     n_clusters: int = dataclasses.field(metadata=dict(static=True))
     cluster_k: int = dataclasses.field(metadata=dict(static=True))
     sss_nb: int = dataclasses.field(metadata=dict(static=True))
+    # max BVH levels from the root; stackful traversal needs
+    # bvh_stack_size >= bvh_depth + 1 (validated in make_nearest)
+    bvh_depth: int = dataclasses.field(metadata=dict(static=True), default=0)
 
 
 def assemble(
@@ -299,4 +302,5 @@ def assemble(
         n_clusters=cl.n_clusters,
         cluster_k=cluster_k,
         sss_nb=sss_nb,
+        bvh_depth=bvh_mod.tree_depth(nodes),
     )

@@ -39,7 +39,8 @@ class RenderConfig:
     preview_bounces: int = 2          # fshader_preview.fsh:397
     engine: str = "pool"              # 'pool' (respawn compaction) | 'scan'
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
-    bvh_stack_size: int = 64          # reference uses 128 (PathTrace.cu:34)
+    bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
+    # make_nearest asserts it covers the built tree's depth + 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
 
     def to_json(self) -> str:

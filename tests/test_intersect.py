@@ -101,6 +101,29 @@ class TestRayAABB:
         _, dist = intersect.ray_aabb(o, d, aa, bb, xp)
         assert float(np.asarray(dist)[0]) == -1.0
 
+    def test_zero_dir_component_on_aa_plane_hits(self, xp):
+        # 0 * inf -> NaN hazard: ray starts exactly ON the x = aa.x plane
+        # with dir.x == 0. The reference's ternary max + NaN-dropping
+        # fminf reductions make the NaN axis fall out of the slab test,
+        # so this HITS; propagate-NaN min/max would false-miss.
+        o = xp.asarray([[-1.0, 0.0, 5.0]])
+        d = xp.asarray([[0.0, 0.0, -1.0]])
+        aa = xp.asarray([[-1.0, -1.0, -1.0]])
+        bb = xp.asarray([[1.0, 1.0, 1.0]])
+        enter, dist = intersect.ray_aabb(o, d, aa, bb, xp)
+        assert float(np.asarray(dist)[0]) == pytest.approx(4.0)
+        assert float(np.asarray(enter)[0]) == pytest.approx(4.0)
+
+    def test_zero_dir_component_on_bb_plane_misses(self, xp):
+        # asymmetric twin: on the bb plane the reference ternary keeps
+        # n = -inf for tmax, so t1 = -inf -> miss
+        o = xp.asarray([[1.0, 0.0, 5.0]])
+        d = xp.asarray([[0.0, 0.0, -1.0]])
+        aa = xp.asarray([[-1.0, -1.0, -1.0]])
+        bb = xp.asarray([[1.0, 1.0, 1.0]])
+        _, dist = intersect.ray_aabb(o, d, aa, bb, xp)
+        assert float(np.asarray(dist)[0]) == -1.0
+
 
 def _random_rays(n, seed, spread=3.0):
     rng = np.random.default_rng(seed)

@@ -30,6 +30,21 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+def test_scan_path_clamps_last_pass(scene):
+    # spp=6 on a 2-wide spp axis with spp_batch=2 (per_pass 4) previously
+    # rendered 8 samples; the last pass must clamp to exactly cfg.spp
+    ds, sd = scene
+    mesh = sharding.make_mesh((4, 2))
+    cfg = _cfg(spp=6, spp_batch=2)
+    film_d = sharding.render_film_distributed(sd, ds.camera, cfg, mesh)
+    assert int(film_d.count) == 6
+    film_s = R.render_film(sd, ds.camera, cfg)
+    np.testing.assert_allclose(
+        np.asarray(film_d.mean()), np.asarray(film_s.mean()),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)],
                          ids=["tile8", "tile4spp2", "tile2spp4", "spp8"])
 def test_sharded_matches_single_device(scene, mesh_shape):

@@ -35,6 +35,17 @@ class TestObjLoader:
         v, f = objloader.parse_obj_text(OBJ_TEXT, compat_slash_faces=True)
         np.testing.assert_array_equal(f[1], [0, 10, 20])
 
+    def test_compat_slash_truncates_to_one_triangle(self):
+        # the reference reads exactly three ints per face record
+        # (PathTrace.cpp:403-423): a slash-replaced 3-vertex face yields
+        # ONE triangle, not a 9-index fan
+        text = "v 0 0 0\n" * 30 + "f 1/2/3 4/5/6 7/8/9\n"
+        _, f = objloader.parse_obj_text(text, compat_slash_faces=True)
+        np.testing.assert_array_equal(f, [[0, 1, 2]])
+        # non-compat parses the same face correctly as (v1, v4, v7)
+        _, f2 = objloader.parse_obj_text(text)
+        np.testing.assert_array_equal(f2, [[0, 3, 6]])
+
     def test_negative_indices(self):
         v, f = objloader.parse_obj_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf -3 -2 -1\n")
         np.testing.assert_array_equal(f, [[0, 1, 2]])
