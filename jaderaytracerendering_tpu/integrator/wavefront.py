@@ -142,9 +142,31 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     m = ray_src.shape[0]
     e_cnt = sd.n_emit
 
-    u = lambda site, pid=pixel_id: rng.uniform(
-        xp, pid, sample_id, b + 1, site, cfg.seed
+    # ---- all RNG draws for this bounce in ONE [M, S] computation ----
+    # The (pixel, sample) base hash is site-independent, so batching the
+    # per-site mixes over a broadcast site axis yields bit-identical
+    # streams while collapsing ~12 separate elementwise launch chains
+    # (at ~30us each on the axon runtime) into one.
+    base_sites = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
+                  S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
+                  S.RR]
+    col = {site: i for i, site in enumerate(base_sites)}
+    site_vals = np.asarray(
+        base_sites
+        + [S.LIGHT_BASE + 2 * i for i in range(e_cnt)]
+        + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)],
+        np.uint32,
     )
+    pid2 = pixel_id[:, None] if getattr(pixel_id, "ndim", 0) == 1 else pixel_id
+    sid2 = sample_id[:, None] if getattr(sample_id, "ndim", 0) == 1 else sample_id
+    b2 = b[:, None] if getattr(b, "ndim", 0) == 1 else b
+    us = rng.uniform(xp, pid2, sid2, b2 + 1, xp.asarray(site_vals)[None, :],
+                     cfg.seed)
+
+    def u(site, pid=pixel_id):
+        if site in col:
+            return us[:, col[site]]
+        return rng.uniform(xp, pid, sample_id, b + 1, site, cfg.seed)
 
     from ..scene import scene as scene_mod
 
@@ -270,14 +292,8 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         l_norm = sd.tri_norm[le_ids]
         l_emis = sd.mat_emissive[sd.tri_obj[le_ids]]
         l_area = vm.triangle_area(lp1, lp2, lp3, xp)
-        sites_u = S.LIGHT_BASE + 2 * xp.arange(e_cnt, dtype=xp.uint32)
-        sid_b = (sample_id[:, None]
-                 if getattr(sample_id, "ndim", 0) == 1 else sample_id)
-        b_l = b[:, None] if getattr(b, "ndim", 0) == 1 else b
-        lu = rng.uniform(xp, pixel_id[:, None], sid_b, b_l + 1,
-                         sites_u[None, :], cfg.seed)
-        lv = rng.uniform(xp, pixel_id[:, None], sid_b, b_l + 1,
-                         sites_u[None, :] + 1, cfg.seed)
+        lu = us[:, 10 : 10 + e_cnt]          # sites LIGHT_BASE + 2i
+        lv = us[:, 10 + e_cnt : 10 + 2 * e_cnt]  # sites LIGHT_BASE + 2i + 1
         lpoint = sampling.triangle_point(
             lp1[None], lp2[None], lp3[None], lu, lv, xp
         )  # [M, E, 3]
@@ -349,7 +365,14 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         l_dir = l_dir + xp.where(ok[..., None], contrib, 0.0).sum(axis=1)
 
     # ---- NEE environment ----
-    sky = envmap.sample_env_sd(sd, _unit(hdir, xp), xp, clamp=cfg.hdr_clamp)
+    # one merged env fetch for the NEE direction and the continuation
+    # direction (mirror/dirref miss-to-sky): halves the row-gather count
+    cdir_u = _unit(cdir, xp)
+    env2 = envmap.sample_env_sd(
+        sd, xp.concatenate([_unit(hdir, xp), cdir_u]), xp, clamp=cfg.hdr_clamp
+    )
+    sky = env2[:m]
+    sky_c = env2[m:]
     cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
     env_entry = sky * xp.where(sss_entry[..., None], fr_alb, fr) * cos_h * (2.0 * PI)
     if sd.has_sss:
@@ -388,7 +411,6 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         accept = accept & ~(is_dirref & ref_escaped)
         killed = killed | (alive & is_dirref & ref_escaped)
 
-    cdir_u = _unit(cdir, xp)
     cos_c = xp.abs(vm.dot(cdir_u, nee_norm, xp))
     rate_diffuse = fr * cos_c / cfg.rr_rate * k  # cu:1344 (+ *k at push, cu:1352)
     rate_entry = fr * cos_c / cfg.rr_rate * (k / cfg.sss_rate)  # cu:1008, 1016
@@ -409,8 +431,8 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         rate = xp.where(is_dirref[..., None], ref_rate * (k / cfg.rr_rate), rate)
 
     # ---- break values ----
-    # mirror / dirref miss-to-sky terms (cu:1396, 1254)
-    sky_c = envmap.sample_env_sd(sd, cdir_u, xp, clamp=cfg.hdr_clamp)
+    # mirror / dirref miss-to-sky terms (cu:1396, 1254); sky_c fetched
+    # above in the merged env gather
     mirror_sky = sky_c * rate_mirror
     dirref_sky = sky_c * ref_rate * (k / cfg.rr_rate)
     break_val = l_dir  # diffuse / entry / exit keep their NEE sum
