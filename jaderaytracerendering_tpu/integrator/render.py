@@ -68,7 +68,7 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
             o, d, e, sd
         )
-    if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu"):
+    if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu", "sweep_fused"):
         if xp is np:  # the Pallas kernels are TPU-only; oracle uses clusters
             from ..ops import cluster_traverse
 
@@ -82,10 +82,16 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         coef_bytes = sd.n_clusters * 16 * 4 * sd.cluster_coef.shape[2]
         blocks_bytes = sd.n_clusters * 16 * sd.cluster_k * 4  # 12->16 pad
         interp = jax.default_backend() == "cpu"
-        use_mxu = (cfg.traversal == "sweep_mxu"
-                   or (cfg.traversal == "sweep"
-                       and coef_bytes <= 10 * 1024 * 1024))
-        if use_mxu:
+        use_fused = (cfg.traversal == "sweep_fused"
+                     or (cfg.traversal == "sweep"
+                         and coef_bytes <= 10 * 1024 * 1024))
+        if use_fused:
+            from ..ops.pallas import cluster_sweep_fused
+
+            return lambda o, d, e: cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+                o, d, e, sd, interpret=interp
+            )
+        if cfg.traversal == "sweep_mxu":
             from ..ops.pallas import cluster_sweep_mxu
 
             return lambda o, d, e: cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(

@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: fully fused cluster sweep (prep + MXU trace).
+
+The round-1 sweep kernels split the work: an XLA prep chain built dense
+[M, C] slab tests and per-tile candidate lists that were fed to the
+kernel through scalar prefetch. Additive in-loop ablation showed that
+split costs ~0.4 ms per call in prefetch/convert/launch overhead alone
+on the axon runtime — more than the actual visit work for typical
+bounce batches. This kernel moves the *entire* pipeline into one
+pallas_call with no scalar prefetch:
+
+per ray tile (one grid step):
+  1. slab-test the tile's rays against all cluster AABBs ([TM, Cp] VPU
+     work, cluster planes live whole in VMEM);
+  2. compact the active-cluster ids with an MXU cumsum (one [1,Cp] @
+     [Cp,Cp] triangular matmul) + a masked-sum scatter into a [Cp, 1]
+     VMEM scratch — sublane layout, so the visit loop can read candidate
+     ids as scalars (Mosaic allows dynamic *sublane* indexing; dynamic
+     lane indexing would need 128 alignment);
+  3. per candidate cluster, one bf16x3 MXU Möller–Trumbore pass (same
+     coefficient form as cluster_sweep_mxu, PathTrace.cu:776-792 math);
+  4. DEFERRED reduction: winners are kept as elementwise [TM, Kp] mins
+     across visits (3 VPU ops/visit instead of two 7-step cross-lane
+     reductions per visit — reductions were ~half the per-visit cost);
+     one final min/argmin pair runs after the loop.
+
+Exactness: the visit set equals prepare_tiles' (same slab math, same
+reference dist>0 semantics); candidate order is ascending cluster id and
+cluster_begin is monotonic, so min-id tie-breaks match the other
+intersectors. Equivalence-tested against brute force.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import vecmath as vm
+from .. import gemm_intersect, intersect
+
+INF = intersect.INF
+
+
+def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
+                  bt_ref, bi_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
+                  kp: int, cp: int, n_clusters: int):
+    tm = f_ref.shape[0]
+    feats = f_ref[:]                         # [TM, 10] = (d, d x o, o, 1)
+    ex = ex_ref[:]                           # [TM, 1]
+
+    # ---- 1. slab tests -> active clusters [1, Cp] ----
+    # identical math/semantics to cluster_sweep.prepare_tiles: per-axis
+    # planes, reference dist>0 (entry t outside / exit t inside), dead
+    # zero-direction rays excluded
+    t0v = None
+    t1v = None
+    for ax in range(3):
+        d_c = feats[:, ax : ax + 1]
+        o_c = feats[:, 6 + ax : 7 + ax]
+        inv = 1.0 / d_c
+        fa = (planes_ref[3 + ax : 4 + ax, :] - o_c) * inv   # bb plane
+        na = (planes_ref[ax : ax + 1, :] - o_c) * inv       # aa plane
+        hi = jnp.maximum(fa, na)
+        lo = jnp.minimum(fa, na)
+        t1v = hi if t1v is None else jnp.minimum(t1v, hi)
+        t0v = lo if t0v is None else jnp.maximum(t0v, lo)
+    dist_pos = jnp.where(t0v > 0.0, t0v, t1v) > 0.0
+    ray_ok = (jnp.abs(feats[:, 0:1]) + jnp.abs(feats[:, 1:2])
+              + jnp.abs(feats[:, 2:3])) > 0.0
+    hits = (t1v >= t0v) & dist_pos & ray_ok                  # [TM, Cp]
+    cid_i = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+    act = jnp.max(hits.astype(jnp.float32), axis=0, keepdims=True)
+    act = act * (cid_i < n_clusters).astype(jnp.float32)     # [1, Cp]
+
+    # ---- 2. compact ids into sublane scratch (matmul cumsum) ----
+    pos = jnp.dot(act, triu_ref[:], preferred_element_type=jnp.float32)
+    cnt = jnp.sum(act, axis=1, keepdims=True)
+    cnt_ref[0:1, 0:1] = cnt.astype(jnp.int32)
+    # slot l holds (cid + 1) of the l-th active cluster; empty slots stay
+    # 0 so the visit loop's (id - 1 >= 0) guard skips them
+    l_iota = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0).astype(jnp.float32)
+    sel = (pos == l_iota + 1.0) & (act > 0.0)
+    ids_f = jnp.sum(
+        jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
+        axis=1, keepdims=True,
+    )                                                        # [Cp, 1]
+    ids_ref[:] = ids_f.astype(jnp.int32)
+
+    # ---- 3+4. visit loop with deferred reduction ----
+    btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
+    bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
+
+    fh = feats.astype(jnp.bfloat16)
+    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    fcat = jnp.concatenate([fh, fh, fl], axis=1)             # [TM, 30]
+    k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+
+    def test_cluster(cid):
+        coef = coefs_ref[pl.ds(cid, 1)][0]                   # [10, 4*Kp]
+        ch = coef.astype(jnp.bfloat16)
+        cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+        ccat = jnp.concatenate([ch, cl_, ch], axis=0)        # [30, 4*Kp]
+        s = jnp.dot(fcat, ccat, preferred_element_type=jnp.float32)
+        a = s[:, 0 * kp : 1 * kp]
+        su = s[:, 1 * kp : 2 * kp]
+        sv = s[:, 2 * kp : 3 * kp]
+        st = s[:, 3 * kp : 4 * kp]
+        begin = begin_ref[cid, 0]
+        # sign-exact division-free forms of u >= 0, v >= 0, u+v <= 1, t > 0
+        ok = ((su * a >= 0.0) & (sv * a >= 0.0)
+              & ((su + sv) * a <= a * a) & (st * a > 0.0)
+              & (k_io + begin != ex))
+        t = jnp.where(ok, st / a, INF)
+        better = t < btw_ref[:]                              # first visit
+        btw_ref[:] = jnp.where(better, t, btw_ref[:])        # wins ties
+        bw_ref[:] = jnp.where(better, begin, bw_ref[:])
+
+    n_act = cnt_ref[0, 0]
+
+    def visit(l, carry):
+        cid0 = ids_ref[2 * l, 0] - 1
+        cid1 = ids_ref[2 * l + 1, 0] - 1
+
+        @pl.when(cid0 >= 0)
+        def _():
+            test_cluster(cid0)
+
+        @pl.when(cid1 >= 0)
+        def _():
+            test_cluster(cid1)
+
+        return carry
+
+    jax.lax.fori_loop(0, (n_act + 1) // 2, visit, 0)
+
+    btw = btw_ref[:]
+    tmin = jnp.min(btw, axis=1, keepdims=True)               # [TM, 1]
+    idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
+    bt_ref[:] = tmin
+    bi_ref[:] = jnp.min(sel2, axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
+def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
+                                interpret=False):
+    """Fused cluster-sweep nearest hit. Same contract as the other
+    intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""
+    c = sd.n_clusters
+    kp = sd.cluster_coef.shape[2] // 4
+    cp = sd.cluster_triu.shape[0]
+    m = origins.shape[0]
+    dirs_u = vm.normalize(dirs, jnp)
+    pad = (-m) % tile_m
+    if pad:
+        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
+        dirs_u = jnp.concatenate([dirs_u, jnp.zeros((pad, 3), dirs_u.dtype)])
+        exclude = jnp.concatenate([exclude, jnp.full((pad,), -1, exclude.dtype)])
+    mp = m + pad
+    n_tiles = mp // tile_m
+    feats = gemm_intersect.ray_features(origins, dirs_u, jnp)  # [Mp, 10]
+
+    kern = functools.partial(_fused_kernel, kp=kp, cp=cp, n_clusters=c)
+    bt, bi = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile_m, 10), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # begin col, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triu, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coef blocks, whole
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((cp, 1), jnp.int32),      # candidate ids
+            pltpu.VMEM((1, 1), jnp.int32),       # candidate count
+            pltpu.VMEM((tile_m, kp), jnp.float32),  # best-t wide
+            pltpu.VMEM((tile_m, kp), jnp.int32),    # winner begin wide
+        ],
+        interpret=interpret,
+    )(feats, exclude[:, None].astype(jnp.int32), sd.cluster_planes,
+      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
+    bt = bt[:m, 0]
+    bi = bi[:m, 0]
+    return bt < INF, jnp.where(bt < INF, bi, 0), bt

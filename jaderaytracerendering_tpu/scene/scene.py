@@ -109,6 +109,14 @@ class SceneData:
     # MXU sweep kernel (Kp = cluster_k padded to a multiple of 32 so the
     # four in-kernel planes slice at 128-aligned lane offsets)
     cluster_coef: jax.Array
+    # fused sweep kernel tables (ops.pallas.cluster_sweep_fused): cluster
+    # AABB planes [8, Cp] (rows aa.xyz, bb.xyz, 0, 0), begin ids [Cp, 1]
+    # laid out for sublane-dim scalar reads, and an upper-triangular ones
+    # matrix [Cp, Cp] so the in-kernel candidate compaction runs as one
+    # MXU cumsum (Cp = n_clusters padded to a lane multiple of 128)
+    cluster_planes: jax.Array
+    cluster_begin_col: jax.Array
+    cluster_triu: jax.Array
     # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
     tri_gemm: jax.Array
     # wide per-triangle table [T, 16] = (p1, p2, p3, norm, obj_as_f32, pad3):
@@ -241,6 +249,16 @@ def assemble(
         p1, p2, p3, cl.begin, cl.count, cluster_kp
     ) if cl.n_clusters else np.zeros((0, 10, 4 * cluster_kp), np.float32)
 
+    # fused-sweep tables: lane-padded cluster planes / begin column / triu
+    c_pad = -(-max(cl.n_clusters, 1) // 128) * 128
+    cplanes = np.zeros((8, c_pad), np.float32)
+    cbegin_col = np.zeros((c_pad, 1), np.int32)
+    if cl.n_clusters:
+        cplanes[0:3, : cl.n_clusters] = cl.aa.T
+        cplanes[3:6, : cl.n_clusters] = cl.bb.T
+        cbegin_col[: cl.n_clusters, 0] = cl.begin
+    ctriu = np.triu(np.ones((c_pad, c_pad), np.float32))
+
     has_sss = bool((refract_modes == material_mod.SUB_SURFACE).any())
     sss_bucket = np.zeros((0, 2), np.int32)
     sss_window = np.zeros((0, 32), np.float32)
@@ -283,6 +301,9 @@ def assemble(
         cluster_count=to(cl.count, np.int32),
         cluster_tris=to(ctris),
         cluster_coef=to(ccoef),
+        cluster_planes=to(cplanes),
+        cluster_begin_col=to(cbegin_col, np.int32),
+        cluster_triu=to(ctriu),
         tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
         tri_table=to(tri_table),
         mat_table=to(mat_table),

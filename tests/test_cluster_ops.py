@@ -220,3 +220,64 @@ def test_sweep2_interpret_vs_brute(scene):
     ))
     np.testing.assert_array_equal(hb, hs)
     np.testing.assert_array_equal(ib[hb], isw[hb])
+
+
+class TestSweepFused:
+    """Fused prep+trace kernel (ops/pallas/cluster_sweep_fused.py)."""
+
+    def test_fused_interpret_vs_brute(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        sdn, sdj = scene
+        o, d, ex = _rays(300, 7)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1,
+                                               sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        np.testing.assert_array_equal(ib[hb], isw[hb])
+        np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-3, atol=5e-4)
+
+    def test_fused_matches_mxu_kernel(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import (cluster_sweep_fused,
+                                                          cluster_sweep_mxu)
+
+        _, sdj = scene
+        o, d, ex = _rays(512, 11)
+        h1, i1, t1 = map(np.asarray, cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        h2, i2, t2 = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        np.testing.assert_array_equal(h1, h2)
+        np.testing.assert_array_equal(i1[h1], i2[h1])
+        np.testing.assert_array_equal(t1[h1], t2[h1])
+
+    def test_fused_exclusion(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        sdn, sdj = scene
+        tri = 5
+        c = (sdn.tri_p1[tri] + sdn.tri_p2[tri] + sdn.tri_p3[tri]) / 3
+        n = sdn.tri_norm[tri]
+        o = np.tile((c + n * 0.05)[None], (8, 1)).astype(np.float32)
+        d = np.tile((-n)[None], (8, 1)).astype(np.float32)
+        ex = np.full(8, tri, np.int32)
+        hs, isw, _ = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert ((~hs) | (isw != tri)).all()
+
+    def test_fused_zero_direction_rays_miss(self, scene):
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        _, sdj = scene
+        o = np.zeros((16, 3), np.float32)
+        d = np.zeros((16, 3), np.float32)
+        ex = np.full(16, -1, np.int32)
+        hs, _, _ = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        ))
+        assert not hs.any()
