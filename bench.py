@@ -8,6 +8,11 @@ Rays counted are *useful* rays: primary rays plus every NEE shadow, HDR
 visibility and continuation ray of live path lanes (dead masked lanes
 are excluded), matching how the reference's megakernel spends its
 traversal work (SURVEY §3.3 hot loops).
+
+``--all`` runs the full config matrix (default / depth16 / 100k tris /
+400k tris / 1024x1024 preview FPS), prints one JSON line per config and
+writes docs/BENCH_MATRIX.json so secondary-axis regressions stay visible
+across rounds.
 """
 
 from __future__ import annotations
@@ -21,27 +26,6 @@ import numpy as np
 
 
 def main() -> None:
-    try:
-        _run()
-    except Exception as exc:  # robust: always emit one valid JSON line
-        import sys, traceback
-
-        traceback.print_exc(file=sys.stderr)
-        print(f"bench failed ({type(exc).__name__}); retrying small config",
-              file=sys.stderr)
-        sys.argv = [sys.argv[0], "--width", "64", "--height", "64",
-                    "--spp", "4", "--depth", "4", "--tris", "5000"]
-        try:
-            _run()
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            print(json.dumps({
-                "metric": "Mrays/sec/chip", "value": 0.0,
-                "unit": "Mrays/s", "vs_baseline": 0.0,
-            }))
-
-
-def _run() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=256)
     ap.add_argument("--height", type=int, default=256)
@@ -54,6 +38,8 @@ def _run() -> None:
     ap.add_argument("--engine", default="pool", choices=["pool", "scan"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
+    ap.add_argument("--all", action="store_true",
+                    help="run the config matrix; one JSON line per config")
     args = ap.parse_args()
 
     import jax
@@ -66,18 +52,131 @@ def _run() -> None:
         args.depth = 3
         args.tris = 2_000
 
+    if args.all:
+        _run_matrix(args)
+        return
+
+    try:
+        mrays = _measure(args)
+    except Exception:  # robust: always emit one valid JSON line
+        import sys, traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench failed; retrying small config", file=sys.stderr)
+        for k, v in dict(width=64, height=64, spp=4, depth=4,
+                         tris=5000).items():
+            setattr(args, k, v)
+        try:
+            mrays = _measure(args)
+        except Exception:
+            traceback.print_exc(file=sys.stderr)
+            mrays = 0.0
+    print(json.dumps(_line(mrays)))
+
+
+def _line(mrays: float, **extra) -> dict:
+    d = {
+        "metric": "Mrays/sec/chip",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 100.0, 4),
+    }
+    d.update(extra)
+    return d
+
+
+def _run_matrix(base) -> None:
+    import copy
+    import os
+
+    results = {}
+    matrix = [
+        ("default", {}),
+        ("depth16", {"depth": 16}),
+        ("tris100k", {"tris": 100_000}),
+        ("tris400k", {"tris": 400_000}),
+    ]
+    for name, over in matrix:
+        args = copy.copy(base)
+        for k, v in over.items():
+            setattr(args, k, v)
+        try:
+            mrays = _measure(args)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            mrays = 0.0
+        results[name] = _line(mrays, config=name)
+        print(json.dumps(results[name]), flush=True)
+    try:
+        fps = _measure_preview_fps(base, width=1024, height=1024)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        fps = 0.0
+    results["preview1024"] = {
+        "metric": "preview FPS @1024x1024", "value": round(fps, 2),
+        "unit": "frames/s", "config": "preview1024",
+    }
+    print(json.dumps(results["preview1024"]), flush=True)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "docs", "BENCH_MATRIX.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"# wrote {out}")
+
+
+def _scene(args):
     import jax.numpy as jnp
 
-    from jaderaytracerendering_tpu.core import camera as camera_mod
-    from jaderaytracerendering_tpu.integrator import render as R, wavefront
     from jaderaytracerendering_tpu.models import demo
     from jaderaytracerendering_tpu.scene.scene import assemble
-    from jaderaytracerendering_tpu.utils.config import RenderConfig
 
     ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
     ds.camera.r = 2.2
     ds.camera.up_angle = 10.0
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    return ds, sd
+
+
+def _measure_preview_fps(base, width: int, height: int,
+                         frames: int = 6) -> float:
+    """Per-frame FPS of the progressive 2-bounce preview integrator at
+    the reference's window resolution (PathTrace.cu:24-30 -DLARGE)."""
+    import jax.numpy as jnp
+
+    from jaderaytracerendering_tpu.core.film import Film
+    from jaderaytracerendering_tpu.integrator import render as R
+    from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+    args = __import__("copy").copy(base)
+    args.tris = 20_000
+    ds, sd = _scene(args)
+    cfg = RenderConfig(width=width, height=height, spp=1, spp_batch=1,
+                       max_depth=2, rays_per_launch=base.rays_per_launch,
+                       traversal=base.traversal, integrator="preview")
+    film = Film.create(cfg.height, cfg.width)
+    film = R.render_film(sd, ds.camera, cfg, film=film)  # compile
+    float(np.asarray(film.accum[:1, :1]).sum())
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        film = R.render_film(sd, ds.camera, cfg, film=film)
+        float(np.asarray(film.accum[:1, :1]).sum())  # completion barrier
+    return frames / (time.perf_counter() - t0)
+
+
+def _measure(args) -> float:
+    """One throughput measurement -> Mrays/sec."""
+    import jax
+    import jax.numpy as jnp
+
+    from jaderaytracerendering_tpu.core import camera as camera_mod
+    from jaderaytracerendering_tpu.integrator import render as R, wavefront
+    from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+    ds, sd = _scene(args)
     cfg = RenderConfig(
         width=args.width, height=args.height, spp=args.spp,
         spp_batch=args.spp_batch, max_depth=args.depth,
@@ -105,14 +204,7 @@ def _run() -> None:
         checksum = float(np.asarray(accum).sum())
         elapsed = time.perf_counter() - t0
         assert np.isfinite(checksum) and int(done) == npix * cfg.spp
-        mrays = total_rays / elapsed / 1e6
-        print(json.dumps({
-            "metric": "Mrays/sec/chip",
-            "value": round(mrays, 3),
-            "unit": "Mrays/s",
-            "vs_baseline": round(mrays / 100.0, 4),
-        }))
-        return
+        return total_rays / elapsed / 1e6
 
     @functools.partial(jax.jit, static_argnames=("sppb",))
     def launch(sd_, eye_, rot_, pixel_ids_, sample_base_, sppb):
@@ -164,13 +256,7 @@ def _run() -> None:
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum)
 
-    mrays = total_rays / elapsed / 1e6
-    print(json.dumps({
-        "metric": "Mrays/sec/chip",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / 100.0, 4),
-    }))
+    return total_rays / elapsed / 1e6
 
 
 if __name__ == "__main__":

@@ -1,1 +1,1 @@
-from . import cluster_sweep, cluster_sweep2, postfx  # noqa: F401
+from . import cluster_sweep, postfx  # noqa: F401

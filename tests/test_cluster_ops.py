@@ -209,19 +209,6 @@ def test_cumsum_indicator_exact():
         scanops.cumsum_indicator(xn, np), np.cumsum(xn.astype(np.int32)))
 
 
-def test_sweep2_interpret_vs_brute(scene):
-    from jaderaytracerendering_tpu.ops.pallas import cluster_sweep2
-
-    sdn, sdj = scene
-    o, d, ex = _rays(300, 9)
-    hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1, sdn.tri_p2, sdn.tri_p3)
-    hs, isw, ts = map(np.asarray, cluster_sweep2.nearest_hit_sweep2_jnp(
-        jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
-    ))
-    np.testing.assert_array_equal(hb, hs)
-    np.testing.assert_array_equal(ib[hb], isw[hb])
-
-
 class TestSweepFused:
     """Fused prep+trace kernel (ops/pallas/cluster_sweep_fused.py)."""
 
