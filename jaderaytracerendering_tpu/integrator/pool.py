@@ -51,6 +51,11 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             else pixel_ids.shape[0])
     nearest = render_mod.make_nearest(sd, cfg, jnp)
     m = pool_m
+    # loop-invariant "empty lane" rows (triangle 0): carried rows of
+    # inactive lanes must equal what a fresh where(active, hit_idx, 0)
+    # gather would produce
+    trow0 = sd.tri_table[0]
+    mrow0 = sd.mat_table[trow0[scene_mod.TRI_OBJ].astype(jnp.int32)]
 
     def spawn(fresh, next_sample, slot, pix, smp):
         """Assign queue samples to fresh lanes -> updated ids + masks."""
@@ -88,12 +93,13 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
 
     def body(carry):
         (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, slot, pix,
-         smp, next_sample, done, accum, it, n_rays0) = carry
+         smp, next_sample, done, accum, it, n_rays0, trow, mrow) = carry
 
         # ---- advance live paths one bounce ----
         st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
-        st2, (dir_b, rate_b) = wavefront.bounce_step(
-            st, b, pix, smp, sd, cfg, jnp, nearest
+        st2, (dir_b, rate_b), (crow, c_mrow) = wavefront.bounce_step(
+            st, b, pix, smp, sd, cfg, jnp, nearest, rows=(trow, mrow),
+            want_rows=True,
         )
         accept, ray_src2, out_dir2, hit_idx2, killed = st2
         l_acc = l_acc + t_put * dir_b
@@ -110,22 +116,18 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
         contrib = jnp.where(finished[:, None], l_final, 0.0)
         slot_done = jnp.where(finished, slot, npix)
-        done = done + jnp.sum(finished.astype(jnp.int32))
 
         # ---- respawn freed lanes on fresh samples ----
         fresh = ~still & ~active | finished  # idle or just finished
         got, next_sample, slot, pix, smp = spawn(fresh, next_sample, slot,
                                                  pix, smp)
-        # metric-only counter in f32: can exceed 2^31 on big renders and is
-        # never exact-compared (ulp error ~1e-7 relative at 2^31)
-        n_rays = n_rays0 + jnp.sum(active.astype(jnp.float32)) * (sd.n_emit + 2)
-        n_rays = n_rays + jnp.sum(got.astype(jnp.float32))
         o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
         sky = envmap.sample_env_sd(sd, _unit(d, jnp), jnp,
                                    clamp=cfg.hdr_clamp)
         row0 = _tri_rows(sd, jnp.where(p_hit, p_idx, 0))
-        p_le = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(jnp.int32),
-                         jnp)[:, scene_mod.MAT_EMISSIVE]
+        p_mrow = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(jnp.int32),
+                           jnp)
+        p_le = p_mrow[:, scene_mod.MAT_EMISSIVE]
         # sky misses complete immediately
         miss = got & ~p_hit
         accum = accum.at[
@@ -134,7 +136,16 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             jnp.concatenate([contrib, jnp.where(miss[:, None], sky, 0.0)]),
             mode="drop",
         )
-        done = done + jnp.sum(miss.astype(jnp.int32))
+        # one merged reduction for all four per-iteration counters (each
+        # separate reduce is an unfused ~30us launch on axon); f32 sums
+        # of 0/1 masks are exact up to 2^24 >> pool_m. n_rays is a
+        # metric-only f32 counter (can exceed 2^31 on big renders, never
+        # exact-compared).
+        red = jnp.sum(jnp.stack(
+            [finished, miss, active, got], axis=1).astype(jnp.float32),
+            axis=0)
+        done = done + (red[0] + red[1]).astype(jnp.int32)
+        n_rays = n_rays0 + red[2] * (sd.n_emit + 2) + red[3]
         started = got & p_hit
 
         active = still | started
@@ -146,9 +157,16 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         t_put = jnp.where(started[:, None], 1.0, t_put)
         l_acc = jnp.where(started[:, None], 0.0, l_acc)
         le0 = jnp.where(started[:, None], p_le, le0)
+        # next-iteration row carry: started lanes take the primary hit's
+        # rows, continuing lanes the continuation hit's, idle lanes tri 0
+        st3 = started[:, None]
+        cont3 = still[:, None]
+        trow_n = jnp.where(st3, row0, jnp.where(cont3, crow, trow0[None]))
+        mrow_n = jnp.where(st3, p_mrow, jnp.where(cont3, c_mrow, mrow0[None]))
 
         return (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0,
-                slot, pix, smp, next_sample, done, accum, it + 1, n_rays)
+                slot, pix, smp, next_sample, done, accum, it + 1, n_rays,
+                trow_n, mrow_n)
 
     init = (
         jnp.zeros(m, bool),
@@ -167,6 +185,8 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         jnp.zeros((npix + 1, 3), jnp.float32),  # +1 drop row
         jnp.int32(0),
         jnp.float32(0),  # useful-ray counter (metric only)
+        jnp.broadcast_to(trow0[None], (m, trow0.shape[0])),  # row carry
+        jnp.broadcast_to(mrow0[None], (m, mrow0.shape[0])),
     )
 
     def cond(carry):

@@ -29,10 +29,10 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
     """Bind a nearest-hit function to the scene (traversal choice)."""
     if cfg.traversal == "brute":
         if xp is np:
-            return lambda o, d, e: bruteforce.nearest_hit_np(
+            return lambda o, d, e, **_kw: bruteforce.nearest_hit_np(
                 o, d, e, sd.tri_p1, sd.tri_p2, sd.tri_p3
             )
-        return lambda o, d, e: bruteforce.nearest_hit_jnp(
+        return lambda o, d, e, **_kw: bruteforce.nearest_hit_jnp(
             o, d, e, sd.tri_p1, sd.tri_p2, sd.tri_p3
         )
     if cfg.traversal == "bvh":
@@ -42,37 +42,37 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
             f"{sd.bvh_depth} + 1; raise RenderConfig.bvh_stack_size"
         )
         if xp is np:
-            return lambda o, d, e: traverse.nearest_hit_bvh_np(
+            return lambda o, d, e, **_kw: traverse.nearest_hit_bvh_np(
                 o, d, e, sd, stack_size=cfg.bvh_stack_size
             )
-        return lambda o, d, e: traverse.nearest_hit_bvh_jnp(
+        return lambda o, d, e, **_kw: traverse.nearest_hit_bvh_jnp(
             o, d, e, sd, stack_size=cfg.bvh_stack_size
         )
     if cfg.traversal == "gemm":
         from ..ops import gemm_intersect
 
         if xp is np:
-            return lambda o, d, e: gemm_intersect.nearest_hit_gemm_np(
+            return lambda o, d, e, **_kw: gemm_intersect.nearest_hit_gemm_np(
                 o, d, e, sd.tri_gemm
             )
-        return lambda o, d, e: gemm_intersect.nearest_hit_gemm_jnp(
+        return lambda o, d, e, **_kw: gemm_intersect.nearest_hit_gemm_jnp(
             o, d, e, sd.tri_gemm
         )
     if cfg.traversal == "clusters":
         from ..ops import cluster_traverse
 
         if xp is np:
-            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
+            return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_np(
                 o, d, e, sd
             )
-        return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
+        return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_jnp(
             o, d, e, sd
         )
     if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu", "sweep_fused"):
         if xp is np:  # the Pallas kernels are TPU-only; oracle uses clusters
             from ..ops import cluster_traverse
 
-            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_np(
+            return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_np(
                 o, d, e, sd
             )
         # the sweep kernels keep the packed scene in VMEM (~16 MB/core).
@@ -88,25 +88,26 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         if use_fused:
             from ..ops.pallas import cluster_sweep_fused
 
-            return lambda o, d, e: cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
-                o, d, e, sd, interpret=interp
-            )
+            return lambda o, d, e, anyhit=None, **_kw: (
+                cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+                    o, d, e, sd, interpret=interp, anyhit=anyhit
+                ))
         if cfg.traversal == "sweep_mxu":
             from ..ops.pallas import cluster_sweep_mxu
 
-            return lambda o, d, e: cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
+            return lambda o, d, e, **_kw: cluster_sweep_mxu.nearest_hit_sweep_mxu_jnp(
                 o, d, e, sd, interpret=interp
             )
         if cfg.traversal == "sweep" and blocks_bytes > 10 * 1024 * 1024:
             from ..ops import cluster_traverse
 
-            return lambda o, d, e: cluster_traverse.nearest_hit_clusters_jnp(
+            return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_jnp(
                 o, d, e, sd
             )
         from ..ops.pallas import cluster_sweep
 
         # CPU backend (tests / virtual meshes) runs the kernel interpreted
-        return lambda o, d, e: cluster_sweep.nearest_hit_sweep_jnp(
+        return lambda o, d, e, **_kw: cluster_sweep.nearest_hit_sweep_jnp(
             o, d, e, sd, interpret=interp
         )
     raise ValueError(f"unknown traversal {cfg.traversal!r}")

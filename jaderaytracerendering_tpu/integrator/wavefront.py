@@ -130,14 +130,22 @@ def _refract_march(alive_ref, tri, miu_in, normal, ray_src, out_dir, sd, cfg,
 
 
 def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
-                cont_override=None):
+                cont_override=None, rows=None, want_rows=False):
     """One masked megakernel bounce. Returns (state, (dir_b, rate_b)).
 
     ``cont_override=(mask, src, dir)`` injects extra rays into otherwise-
     idle lanes' continuation slots (exclusion -1) — the pool engine rides
     its respawn primary rays through the same batched trace. When given,
     the raw continuation trace (hit, idx, t) is returned as a third
-    element."""
+    element.
+
+    ``rows=(trow, mrow)`` supplies the per-lane triangle/material rows
+    for ``where(active, hit_idx, 0)`` precomputed (the pool engine
+    carries them across iterations — re-gathering per bounce costs two
+    extra launches per while-loop iteration on the axon backend).
+    ``want_rows=True`` appends ``(crow, c_mrow)`` — the continuation
+    hit's rows — as the final returned element so the caller can build
+    the next iteration's carry without another gather."""
     active, ray_src, out_dir, hit_idx, killed = state
     m = ray_src.shape[0]
     e_cnt = sd.n_emit
@@ -172,10 +180,13 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
 
     TRI, MAT = scene_mod, scene_mod
     tri = xp.where(active, hit_idx, 0)
-    trow = _tri_rows(sd, tri)
+    if rows is None:
+        trow = _tri_rows(sd, tri)
+        mrow = _mat_rows(sd, trow[:, TRI.TRI_OBJ].astype(xp.int32), xp)
+    else:
+        trow, mrow = rows
     normal = trow[:, TRI.TRI_NORM]
     obj = trow[:, TRI.TRI_OBJ].astype(xp.int32)
-    mrow = _mat_rows(sd, obj, xp)
     emissive = mrow[:, MAT.MAT_EMISSIVE]
     brdf = mrow[:, MAT.MAT_BRDF]
     refract_mode = mrow[:, MAT.MAT_REFRACT_MODE].astype(xp.int32)
@@ -288,10 +299,12 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     needs_nee = is_diffuse | sss_entry | sss_exit
     if e_cnt > 0:
         le_ids = sd.emit_idx  # [E]
-        lp1, lp2, lp3 = sd.tri_p1[le_ids], sd.tri_p2[le_ids], sd.tri_p3[le_ids]
-        l_norm = sd.tri_norm[le_ids]
-        l_emis = sd.mat_emissive[sd.tri_obj[le_ids]]
-        l_area = vm.triangle_area(lp1, lp2, lp3, xp)
+        # hoisted at assemble time (scene.py): gathering per bounce
+        # re-staged these tables every while-loop iteration
+        lp1, lp2, lp3 = sd.light_p1, sd.light_p2, sd.light_p3
+        l_norm = sd.light_norm
+        l_emis = sd.light_emis
+        l_area = sd.light_area
         lu = us[:, 10 : 10 + e_cnt]          # sites LIGHT_BASE + 2i
         lv = us[:, 10 + e_cnt : 10 + 2 * e_cnt]  # sites LIGHT_BASE + 2i + 1
         lpoint = sampling.triangle_point(
@@ -330,7 +343,23 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         xp.broadcast_to(nee_excl[:, None], (m, e_cnt)).reshape(-1),
         nee_excl, cont_excl,
     ])
-    bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e)
+    # the HDR-visibility segment [m*e_cnt, m*e_cnt+m) is consumed as a
+    # hit boolean only (h_hit below) — intersectors that understand the
+    # hint run it with a cheaper any-hit epilogue
+    import inspect
+
+    try:
+        _params = inspect.signature(nearest_fn).parameters
+        _takes_anyhit = ("anyhit" in _params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in _params.values()
+        ))
+    except (TypeError, ValueError):  # builtins / partials without sigs
+        _takes_anyhit = False
+    if _takes_anyhit:
+        bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e,
+                                    anyhit=(m * e_cnt, m * e_cnt + m))
+    else:
+        bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e)
     l_hit = bhit[: m * e_cnt].reshape(m, e_cnt)
     l_idx = bidx[: m * e_cnt].reshape(m, e_cnt)
     h_hit = bhit[m * e_cnt : m * e_cnt + m]
@@ -397,9 +426,8 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     u_rr = u(S.RR)
     rr_ok = u_rr < cfg.rr_rate
     crow = _tri_rows(sd, xp.where(c_hit, c_idx, 0))
-    c_obj_em = _mat_rows(
-        sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp
-    )[:, MAT.MAT_EMISSIVE]
+    c_mrow = _mat_rows(sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp)
+    c_obj_em = c_mrow[:, MAT.MAT_EMISSIVE]
     # strict (em < eps).all(), matching the oracle / reference (cu:1005
     # region; cpuref lines 141/188/273): a channel exactly AT the
     # threshold rejects continuation
@@ -467,9 +495,12 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     active = accept
 
     new_state = (active, ray_src, out_dir, hit_idx, killed)
+    out = [new_state, (dir_out, rate_out)]
     if cont_override is not None:
-        return new_state, (dir_out, rate_out), (c_hit, c_idx, c_t)
-    return new_state, (dir_out, rate_out)
+        out.append((c_hit, c_idx, c_t))
+    if want_rows:
+        out.append((crow, c_mrow))
+    return tuple(out) if len(out) > 2 else (out[0], out[1])
 
 
 def composite(dir_ys, rate_ys, xp):

@@ -46,7 +46,9 @@ INF = intersect.INF
 
 def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
                   bt_ref, bi_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
-                  kp: int, cp: int, n_clusters: int):
+                  kp: int, cp: int, n_clusters: int,
+                  anyhit_tiles: tuple = (0, 0),
+                  debug_variant: str = "full"):
     tm = f_ref.shape[0]
     feats = f_ref[:]                         # [TM, 10] = (d, d x o, o, 1)
     ex = ex_ref[:]                           # [TM, 1]
@@ -90,15 +92,25 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
     ids_ref[:] = ids_f.astype(jnp.int32)
 
     # ---- 3+4. visit loop with deferred reduction ----
-    btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
-    bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
+    n_act = cnt_ref[0, 0]
+    if debug_variant == "slab_only":   # perf ablation: skip the visits
+        n_act = n_act * 0
 
-    fh = feats.astype(jnp.bfloat16)
-    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
-    fcat = jnp.concatenate([fh, fh, fl], axis=1)             # [TM, 30]
-    k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+    # Empty-tile fast path: the median bounce-batch tile has ZERO
+    # candidate clusters (dead/sky lanes), so skipping the scratch init,
+    # bf16 feature split, visit loop and final reduction for n_act == 0
+    # removes most of the per-tile fixed cost on real workloads.
+    @pl.when(n_act == 0)
+    def _():
+        bt_ref[:] = jnp.full((tm, 1), INF, jnp.float32)
+        bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
 
-    def test_cluster(cid):
+    pid = pl.program_id(0)
+    is_anyhit = ((pid >= anyhit_tiles[0]) & (pid < anyhit_tiles[1])
+                 if anyhit_tiles[1] > anyhit_tiles[0] else False)
+
+    def mt_terms(fcat, cid):
+        """One bf16x3 MXU Möller–Trumbore pass + the ok mask."""
         coef = coefs_ref[pl.ds(cid, 1)][0]                   # [10, 4*Kp]
         ch = coef.astype(jnp.bfloat16)
         cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -109,46 +121,93 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         sv = s[:, 2 * kp : 3 * kp]
         st = s[:, 3 * kp : 4 * kp]
         begin = begin_ref[cid, 0]
-        # sign-exact division-free forms of u >= 0, v >= 0, u+v <= 1, t > 0
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+        # sign-exact division-free forms of u>=0, v>=0, u+v<=1, t>0
         ok = ((su * a >= 0.0) & (sv * a >= 0.0)
               & ((su + sv) * a <= a * a) & (st * a > 0.0)
               & (k_io + begin != ex))
-        t = jnp.where(ok, st / a, INF)
-        better = t < btw_ref[:]                              # first visit
-        btw_ref[:] = jnp.where(better, t, btw_ref[:])        # wins ties
-        bw_ref[:] = jnp.where(better, begin, bw_ref[:])
+        return ok, a, st, begin
 
-    n_act = cnt_ref[0, 0]
+    def run_visits(test_fn):
+        def visit(l, carry):
+            cid0 = ids_ref[2 * l, 0] - 1
+            cid1 = ids_ref[2 * l + 1, 0] - 1
 
-    def visit(l, carry):
-        cid0 = ids_ref[2 * l, 0] - 1
-        cid1 = ids_ref[2 * l + 1, 0] - 1
+            @pl.when(cid0 >= 0)
+            def _():
+                test_fn(cid0)
 
-        @pl.when(cid0 >= 0)
+            @pl.when(cid1 >= 0)
+            def _():
+                test_fn(cid1)
+
+            return carry
+
+        jax.lax.fori_loop(0, (n_act + 1) // 2, visit, 0)
+
+    @pl.when((n_act > 0) & ~is_anyhit)
+    def _():
+        btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
+        bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
+
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fcat = jnp.concatenate([fh, fh, fl], axis=1)         # [TM, 30]
+
+        def test_cluster(cid):
+            ok, a, st, begin = mt_terms(fcat, cid)
+            t = jnp.where(ok, st / a, INF)
+            better = t < btw_ref[:]                          # first visit
+            btw_ref[:] = jnp.where(better, t, btw_ref[:])    # wins ties
+            bw_ref[:] = jnp.where(better, begin, bw_ref[:])
+
+        run_visits(test_cluster)
+
+        btw = btw_ref[:]
+        tmin = jnp.min(btw, axis=1, keepdims=True)           # [TM, 1]
+        idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+        sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
+        bt_ref[:] = tmin
+        bi_ref[:] = jnp.min(sel2, axis=1, keepdims=True)
+
+    if anyhit_tiles[1] > anyhit_tiles[0]:
+        # Any-hit tiles (the HDR-visibility segment): downstream consumes
+        # only the hit boolean, so the per-visit epilogue drops the
+        # division, min-update and winner tracking — just an OR into the
+        # wide hit accumulator (reuses btw_ref as f32 0/1).
+        @pl.when((n_act > 0) & is_anyhit)
         def _():
-            test_cluster(cid0)
+            btw_ref[:] = jnp.zeros((tm, kp), jnp.float32)
 
-        @pl.when(cid1 >= 0)
-        def _():
-            test_cluster(cid1)
+            fh = feats.astype(jnp.bfloat16)
+            fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            fcat = jnp.concatenate([fh, fh, fl], axis=1)
 
-        return carry
+            def test_anyhit(cid):
+                ok, _, _, _ = mt_terms(fcat, cid)
+                btw_ref[:] = jnp.maximum(btw_ref[:], ok.astype(jnp.float32))
 
-    jax.lax.fori_loop(0, (n_act + 1) // 2, visit, 0)
+            run_visits(test_anyhit)
 
-    btw = btw_ref[:]
-    tmin = jnp.min(btw, axis=1, keepdims=True)               # [TM, 1]
-    idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
-    sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
-    bt_ref[:] = tmin
-    bi_ref[:] = jnp.min(sel2, axis=1, keepdims=True)
+            hit_any = jnp.max(btw_ref[:], axis=1, keepdims=True) > 0.0
+            bt_ref[:] = jnp.where(hit_any, 1.0, INF)
+            bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "interpret"))
-def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
-                                interpret=False):
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
+                                             "_debug_variant"))
+def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=128,
+                                interpret=False, anyhit=None,
+                                _debug_variant="full"):
     """Fused cluster-sweep nearest hit. Same contract as the other
-    intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir)."""
+    intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir).
+
+    ``anyhit=(lo, hi)``: static row range where the caller consumes ONLY
+    the hit boolean (e.g. the integrator's HDR-visibility segment,
+    wavefront.py batch layout). Tiles fully inside the range run a
+    cheaper any-hit epilogue (no division / winner tracking); their idx
+    is 0 and t is 1.0-when-hit. Rows outside aligned tile bounds keep
+    full nearest semantics."""
     c = sd.n_clusters
     kp = sd.cluster_coef.shape[2] // 4
     cp = sd.cluster_triu.shape[0]
@@ -163,7 +222,15 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
     n_tiles = mp // tile_m
     feats = gemm_intersect.ray_features(origins, dirs_u, jnp)  # [Mp, 10]
 
-    kern = functools.partial(_fused_kernel, kp=kp, cp=cp, n_clusters=c)
+    if anyhit is not None:
+        tlo = -(-anyhit[0] // tile_m)     # first tile fully inside
+        thi = anyhit[1] // tile_m         # one past last tile fully inside
+        anyhit_tiles = (tlo, max(tlo, thi))
+    else:
+        anyhit_tiles = (0, 0)
+    kern = functools.partial(_fused_kernel, kp=kp, cp=cp, n_clusters=c,
+                             anyhit_tiles=anyhit_tiles,
+                             debug_variant=_debug_variant)
     bt, bi = pl.pallas_call(
         kern,
         grid=(n_tiles,),

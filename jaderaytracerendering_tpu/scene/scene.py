@@ -131,6 +131,16 @@ class SceneData:
     # pre-packed 2x2 bilinear rows [(He+1)*(We+1), 16] (envmap.pack_bilinear):
     # one wide-row gather per sample instead of four scattered ones
     env_pack: jax.Array
+    # hoisted per-light tables [E, ...] (rows of the sorted tri arrays at
+    # emit_idx): the NEE loop body is while-loop code — gathering these
+    # per bounce re-stages them every iteration on the axon backend, so
+    # they are precomputed at assemble time instead
+    light_p1: jax.Array
+    light_p2: jax.Array
+    light_p3: jax.Array
+    light_norm: jax.Array
+    light_emis: jax.Array
+    light_area: jax.Array
     # table-driven BSSRDF exit sampling (sampling.build_area_cdf_tables):
     # per-object u-bucket brackets [O*NB, 2] i32 + sliding windows [T, 32]
     # (prefix values | precomputed mapping[F(j)] answers); empty when the
@@ -309,6 +319,16 @@ def assemble(
         mat_table=to(mat_table),
         env_map=to(env_map),
         env_pack=to(envmap_mod.pack_bilinear(np.asarray(env_map, np.float32), np)),
+        light_p1=to(p1[emit_idx]),
+        light_p2=to(p2[emit_idx]),
+        light_p3=to(p3[emit_idx]),
+        light_norm=to(norm[emit_idx]),
+        light_emis=to(emissive_per_obj[obj_idx[emit_idx]]),
+        # f32 area via the same function the integrator used to call, so
+        # the hoisted values are bit-identical to the old per-bounce ones
+        light_area=to(vecmath.triangle_area(
+            p1[emit_idx].astype(np.float32), p2[emit_idx].astype(np.float32),
+            p3[emit_idx].astype(np.float32), np)),
         sss_bucket=to(sss_bucket, np.int32),
         sss_window=to(sss_window),
         n_triangles=t,

@@ -257,6 +257,27 @@ class TestSweepFused:
         ))
         assert ((~hs) | (isw != tri)).all()
 
+    def test_fused_anyhit_segment(self, scene):
+        """Any-hit rows report the same hit boolean as full nearest."""
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        sdn, sdj = scene
+        o, d, ex = _rays(512, 13)
+        hb, _, _ = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1,
+                                             sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj,
+            interpret=True, anyhit=(128, 384)
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        # rows outside the any-hit range keep full nearest results
+        hb2, ib2, tb2 = bruteforce.nearest_hit_np(
+            o, d, ex, sdn.tri_p1, sdn.tri_p2, sdn.tri_p3)
+        for sl in (slice(0, 128), slice(384, 512)):
+            np.testing.assert_array_equal(ib2[sl][hb2[sl]], isw[sl][hb2[sl]])
+            np.testing.assert_allclose(tb2[sl][hb2[sl]], ts[sl][hb2[sl]],
+                                       rtol=1e-3, atol=5e-4)
+
     def test_fused_zero_direction_rays_miss(self, scene):
         from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
 
