@@ -68,23 +68,35 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_jnp(
             o, d, e, sd
         )
-    if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu", "sweep_fused"):
+    if cfg.traversal in ("sweep", "sweep_vpu", "sweep_mxu", "sweep_fused",
+                         "sweep_stream"):
         if xp is np:  # the Pallas kernels are TPU-only; oracle uses clusters
             from ..ops import cluster_traverse
 
             return lambda o, d, e, **_kw: cluster_traverse.nearest_hit_clusters_np(
                 o, d, e, sd
             )
-        # the sweep kernels keep the packed scene in VMEM (~16 MB/core).
-        # "sweep" auto-routes: MXU coefficient blocks ([C, 10, 4Kp], 3.3x
-        # the VPU blocks) while they fit, then the leaner VPU blocks, then
-        # the XLA cluster traversal for very large scenes.
+        # "sweep" auto-routes by coefficient-table size: the VMEM-resident
+        # fused kernel while the [C, 10, 4Kp] blocks fit on-chip, else the
+        # HBM-streaming two-level kernel (any scene size).
         coef_bytes = sd.n_clusters * 16 * 4 * sd.cluster_coef.shape[2]
         blocks_bytes = sd.n_clusters * 16 * sd.cluster_k * 4  # 12->16 pad
         interp = jax.default_backend() == "cpu"
         use_fused = (cfg.traversal == "sweep_fused"
                      or (cfg.traversal == "sweep"
                          and coef_bytes <= 10 * 1024 * 1024))
+        if cfg.traversal == "sweep_stream" or (
+            cfg.traversal == "sweep" and not use_fused
+        ):
+            # large scenes: self-preparing two-level sweep, coefficient
+            # blocks DMA-streamed from HBM (VMEM holds only the double
+            # buffer) — scene size bounded by HBM, not VMEM
+            from ..ops.pallas import cluster_sweep_stream
+
+            return lambda o, d, e, **_kw: (
+                cluster_sweep_stream.nearest_hit_sweep_stream_jnp(
+                    o, d, e, sd, interpret=interp
+                ))
         if use_fused:
             from ..ops.pallas import cluster_sweep_fused
 

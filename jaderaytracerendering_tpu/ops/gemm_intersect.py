@@ -91,12 +91,15 @@ def pack_cluster_coefficients(p1, p2, p3, begin, count, kp) -> np.ndarray:
     coef = coef.astype(np.float32)
 
     c = len(begin)
-    out = np.zeros((c, 10, 4 * kp), np.float32)
+    # 16 feature rows (10 real + 6 zero): Mosaic DMA slices need the
+    # sublane dim 8-aligned for the HBM-streaming kernel, and the MXU
+    # contraction is 128-padded anyway so the zero rows cost nothing
+    out = np.zeros((c, 16, 4 * kp), np.float32)
     for ci in range(c):
         b, cnt = int(begin[ci]), int(count[ci])
         blk = coef[b : b + cnt]                      # [cnt, 4, 10]
         for j in range(4):
-            out[ci, :, j * kp : j * kp + cnt] = blk[:, j, :].T
+            out[ci, :10, j * kp : j * kp + cnt] = blk[:, j, :].T
     return out
 
 

@@ -106,15 +106,16 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
 
     pid = pl.program_id(0)
+    has_anyhit = anyhit_tiles[1] > anyhit_tiles[0]
     is_anyhit = ((pid >= anyhit_tiles[0]) & (pid < anyhit_tiles[1])
-                 if anyhit_tiles[1] > anyhit_tiles[0] else False)
+                 if has_anyhit else jnp.bool_(False))
 
     def mt_terms(fcat, cid):
         """One bf16x3 MXU Möller–Trumbore pass + the ok mask."""
-        coef = coefs_ref[pl.ds(cid, 1)][0]                   # [10, 4*Kp]
+        coef = coefs_ref[pl.ds(cid, 1)][0]                   # [16, 4*Kp]
         ch = coef.astype(jnp.bfloat16)
         cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
-        ccat = jnp.concatenate([ch, cl_, ch], axis=0)        # [30, 4*Kp]
+        ccat = jnp.concatenate([ch, cl_, ch], axis=0)        # [48, 4*Kp]
         s = jnp.dot(fcat, ccat, preferred_element_type=jnp.float32)
         a = s[:, 0 * kp : 1 * kp]
         su = s[:, 1 * kp : 2 * kp]
@@ -150,9 +151,11 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
         bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
 
-        fh = feats.astype(jnp.bfloat16)
-        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
-        fcat = jnp.concatenate([fh, fh, fl], axis=1)         # [TM, 30]
+        featsp = jnp.concatenate(
+            [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)  # 16-row coef pad
+        fh = featsp.astype(jnp.bfloat16)
+        fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fcat = jnp.concatenate([fh, fh, fl], axis=1)         # [TM, 48]
 
         def test_cluster(cid):
             ok, a, st, begin = mt_terms(fcat, cid)
@@ -179,8 +182,10 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         def _():
             btw_ref[:] = jnp.zeros((tm, kp), jnp.float32)
 
-            fh = feats.astype(jnp.bfloat16)
-            fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            featsp = jnp.concatenate(
+                [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)
+            fh = featsp.astype(jnp.bfloat16)
+            fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
             fcat = jnp.concatenate([fh, fh, fl], axis=1)
 
             def test_anyhit(cid):

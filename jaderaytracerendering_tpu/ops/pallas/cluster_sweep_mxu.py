@@ -54,18 +54,20 @@ def _sweep_mxu_kernel(ids_ref, counts_ref, begins_ref, f_ref, ex_ref,
     # bf16 pass, loses ~1e-2 of t — breaks oracle parity) and HIGHEST
     # (6 passes, slower than the VPU sweep). hi/lo splits give f32-grade
     # dots in 3 bf16 passes. Ray halves are loop-invariant per tile.
-    fh = feats.astype(jnp.bfloat16)
-    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    featsp = jnp.concatenate(
+        [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)  # 16-row coef pad
+    fh = featsp.astype(jnp.bfloat16)
+    fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
     # the three passes stack along the contraction dim (10 -> 30, still
     # one physical 128-deep MXU pass), so the partial sums accumulate in
     # the systolic array instead of as [TM, 4Kp] f32 adds
-    fcat = jnp.concatenate([fh, fh, fl], axis=1)     # [TM, 30]
+    fcat = jnp.concatenate([fh, fh, fl], axis=1)     # [TM, 48]
 
     def test_cluster(cid):
-        coef = coefs_ref[pl.ds(cid, 1)][0]       # [10, 4*Kp]
+        coef = coefs_ref[pl.ds(cid, 1)][0]       # [16, 4*Kp]
         ch = coef.astype(jnp.bfloat16)
         cl = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
-        ccat = jnp.concatenate([ch, cl, ch], axis=0)  # [30, 4*Kp]
+        ccat = jnp.concatenate([ch, cl, ch], axis=0)  # [48, 4*Kp]
         s = jnp.dot(fcat, ccat, preferred_element_type=jnp.float32)
         a = s[:, 0 * kp : 1 * kp]
         su = s[:, 1 * kp : 2 * kp]

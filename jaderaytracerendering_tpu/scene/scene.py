@@ -117,6 +117,10 @@ class SceneData:
     cluster_planes: jax.Array
     cluster_begin_col: jax.Array
     cluster_triu: jax.Array
+    # level-1 chunk AABBs for the streaming sweep: unions of 128
+    # BVH-ordered clusters, [8, NCp] (NCp = chunk count padded to 128;
+    # empty chunks carry inverted +/-1e30 boxes so they never activate)
+    cluster_chunk_planes: jax.Array
     # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
     tri_gemm: jax.Array
     # wide per-triangle table [T, 16] = (p1, p2, p3, norm, obj_as_f32, pad3):
@@ -257,9 +261,12 @@ def assemble(
     cluster_kp = -(-max(cluster_k, 1) // 32) * 32
     ccoef = gemm_intersect.pack_cluster_coefficients(
         p1, p2, p3, cl.begin, cl.count, cluster_kp
-    ) if cl.n_clusters else np.zeros((0, 10, 4 * cluster_kp), np.float32)
+    ) if cl.n_clusters else np.zeros((0, 16, 4 * cluster_kp), np.float32)
 
-    # fused-sweep tables: lane-padded cluster planes / begin column / triu
+    # fused-sweep tables: lane-padded cluster planes / begin column / triu.
+    # The [Cp, Cp] triangular matrix is quadratic in cluster count — only
+    # built for scenes small enough for the VMEM-resident fused kernel
+    # (the streaming kernel's chunked compaction needs no triu).
     c_pad = -(-max(cl.n_clusters, 1) // 128) * 128
     cplanes = np.zeros((8, c_pad), np.float32)
     cbegin_col = np.zeros((c_pad, 1), np.int32)
@@ -267,7 +274,22 @@ def assemble(
         cplanes[0:3, : cl.n_clusters] = cl.aa.T
         cplanes[3:6, : cl.n_clusters] = cl.bb.T
         cbegin_col[: cl.n_clusters, 0] = cl.begin
-    ctriu = np.triu(np.ones((c_pad, c_pad), np.float32))
+    if c_pad <= 2048:
+        ctriu = np.triu(np.ones((c_pad, c_pad), np.float32))
+    else:
+        ctriu = np.zeros((0, 0), np.float32)
+
+    # level-1 chunk AABBs (streaming sweep): union over 128-cluster runs
+    n_chunks = c_pad // 128
+    nc_pad = -(-max(n_chunks, 1) // 128) * 128
+    cchunk = np.zeros((8, nc_pad), np.float32)
+    cchunk[0:3, :] = 1e30   # empty sentinel: inverted box never activates
+    cchunk[3:6, :] = -1e30
+    for j in range(n_chunks):
+        b, e = j * 128, min((j + 1) * 128, cl.n_clusters)
+        if b < cl.n_clusters:
+            cchunk[0:3, j] = cl.aa[b:e].min(axis=0)
+            cchunk[3:6, j] = cl.bb[b:e].max(axis=0)
 
     has_sss = bool((refract_modes == material_mod.SUB_SURFACE).any())
     sss_bucket = np.zeros((0, 2), np.int32)
@@ -314,6 +336,7 @@ def assemble(
         cluster_planes=to(cplanes),
         cluster_begin_col=to(cbegin_col, np.int32),
         cluster_triu=to(ctriu),
+        cluster_chunk_planes=to(cchunk),
         tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
         tri_table=to(tri_table),
         mat_table=to(mat_table),

@@ -183,15 +183,16 @@ class TestSweepMXU:
         kp = sdn.cluster_coef.shape[2] // 4
         ci = 0
         b, c = int(sdn.cluster_begin[ci]), int(sdn.cluster_count[ci])
-        blk = np.asarray(sdn.cluster_coef[ci])          # [10, 4*kp]
+        blk = np.asarray(sdn.cluster_coef[ci])          # [16, 4*kp]
         ref = np.asarray(sdn.tri_gemm)                  # [10, 4*T]
         for j in range(4):
             np.testing.assert_allclose(
-                blk[:, j * kp : j * kp + c],
+                blk[:10, j * kp : j * kp + c],
                 ref[:, 4 * b + j : 4 * (b + c) : 4],
             )
         for j in range(4):
             assert (blk[:, j * kp + c : (j + 1) * kp] == 0).all()
+        assert (blk[10:] == 0).all()  # DMA-alignment pad rows
 
 
 def test_cumsum_indicator_exact():
@@ -277,6 +278,42 @@ class TestSweepFused:
             np.testing.assert_array_equal(ib2[sl][hb2[sl]], isw[sl][hb2[sl]])
             np.testing.assert_allclose(tb2[sl][hb2[sl]], ts[sl][hb2[sl]],
                                        rtol=1e-3, atol=5e-4)
+
+    def test_fused_matches_stream_both_modes(self, scene):
+        """The streaming kernel (vmem + dma modes) equals the fused one."""
+        from jaderaytracerendering_tpu.ops.pallas import (cluster_sweep_fused,
+                                                          cluster_sweep_stream)
+
+        _, sdj = scene
+        o, d, ex = _rays(512, 17)
+        ref = tuple(map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj, interpret=True
+        )))
+        for stream in (False, True):
+            got = tuple(map(np.asarray, cluster_sweep_stream.nearest_hit_sweep_stream_jnp(
+                jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj,
+                interpret=True, stream=stream
+            )))
+            np.testing.assert_array_equal(ref[0], got[0])
+            np.testing.assert_array_equal(ref[1][ref[0]], got[1][ref[0]])
+            np.testing.assert_array_equal(ref[2][ref[0]], got[2][ref[0]])
+
+    def test_stream_overflow_fallback(self, scene):
+        """Tiles overflowing the candidate cap fall back to a dense
+        streamed sweep and stay exact."""
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_stream
+
+        sdn, sdj = scene
+        o, d, ex = _rays(256, 19)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1,
+                                               sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep_stream.nearest_hit_sweep_stream_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj,
+            interpret=True, stream=True, l_cap=8,  # force overflow
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        np.testing.assert_array_equal(ib[hb], isw[hb])
+        np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-3, atol=5e-4)
 
     def test_fused_zero_direction_rays_miss(self, scene):
         from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused

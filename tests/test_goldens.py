@@ -48,3 +48,28 @@ def test_golden_cornell():
     _check("cornell_10x10_4spp.npy", ds, RenderConfig(
         width=10, height=10, spp=4, spp_batch=4, max_depth=4,
         traversal="bvh", engine="scan", seed=5))
+
+
+# ---- 64x64 goldens (round-2: image-quality evidence at real size; ----
+# ---- regenerate ONLY via tests/goldens/regen.py)                  ----
+
+def test_golden_diffuse_64():
+    ds = demo.diffuse_scene(n_buddha_tris=400, env_shape=(16, 32))
+    _check("diffuse_64x64_4spp.npy", ds, RenderConfig(
+        width=64, height=64, spp=4, spp_batch=4, max_depth=4,
+        traversal="bvh", engine="scan", seed=5))
+
+
+def test_golden_jade_64():
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    _check("jade_64x64_4spp.npy", ds, RenderConfig(
+        width=64, height=64, spp=4, spp_batch=4, max_depth=5,
+        traversal="bvh", engine="pool", rays_per_launch=4096, seed=5))
+
+
+def test_golden_cornell_64():
+    ds = demo.cornell_scene()
+    _check("cornell_64x64_4spp.npy", ds, RenderConfig(
+        width=64, height=64, spp=4, spp_batch=4, max_depth=4,
+        traversal="bvh", engine="scan", seed=5))
