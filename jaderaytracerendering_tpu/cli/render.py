@@ -60,6 +60,10 @@ def main(argv=None) -> None:
             stage(f"spp {done}/{total}  ({time.perf_counter() - t0:.1f}s)")
 
         film = R.render_film(sd, cam, cfg, film=film, progress=progress)
+    # honest wall-clock: axon dispatches async and block_until_ready can
+    # return early — a host transfer that depends on the full accum
+    # chain is the only reliable completion barrier
+    float(np.asarray(film.accum[:1, :1]).sum())
     dt = time.perf_counter() - t0
     spp_done = int(film.count)
     stage(f"rendered {cfg.width}x{cfg.height} @ {spp_done}spp in {dt:.1f}s "

@@ -93,9 +93,12 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
             # buffer) — scene size bounded by HBM, not VMEM
             from ..ops.pallas import cluster_sweep_stream
 
+            # explicit sweep_stream forces DMA streaming even when the
+            # table would fit VMEM; the auto route lets size decide
+            force = True if cfg.traversal == "sweep_stream" else None
             return lambda o, d, e, **_kw: (
                 cluster_sweep_stream.nearest_hit_sweep_stream_jnp(
-                    o, d, e, sd, interpret=interp
+                    o, d, e, sd, interpret=interp, stream=force
                 ))
         if use_fused:
             from ..ops.pallas import cluster_sweep_fused
