@@ -129,6 +129,138 @@ def _refract_march(alive_ref, tri, miu_in, normal, ray_src, out_dir, sd, cfg,
     return rdir, rate, escaped, exclude, src
 
 
+def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
+                 ldir_list, l_ok_list, lights, sky, sky_c, hdir, cdir_u,
+                 nee_norm, exit_norm, bss, fr, fr_alb, emissive, c_obj_em,
+                 cont_src, ref_rate, r0_sss, total_area, k, u_rr, c_t,
+                 sss_entry, sss_exit, is_mirror, is_dirref, alive,
+                 active, emit_break, killed, needs_nee, c_hit, h_hit,
+                 ref_escaped):
+    """Post-trace shading resolve: NEE light/env contributions, branch
+    scales, Russian roulette acceptance, continuation rates, break
+    values (bounce_step's tail — PathTrace.cu:941-1416 epilogue math).
+
+    Pure function of arrays so the SAME code runs as the XLA tail and
+    inside the Pallas shade-resolve kernel (ops/pallas/shade_resolve.py)
+    — one implementation, two lowerings, no parity surface. All masks
+    and scalars are [M, 1]-shaped (Mosaic-friendly 2D).
+
+    ``ldir_list``/``l_ok_list``: per-light [M, 3] directions and [M, 1]
+    accept masks (visibility already resolved by the caller).
+    ``lights``: packed [E, 8] rows = (l_norm.xyz, l_emis.xyz, area, 0).
+    Returns (dir_out, rate_out, new_src, accept [M,1], killed [M,1]).
+    """
+    m3 = sky.shape
+    l_dir = xp.zeros(m3, sky.dtype)
+    for i in range(e_cnt):
+        ldir = ldir_list[i]
+        ok = l_ok_list[i]
+        l_norm_i = lights[i : i + 1, 0:3]
+        l_emis_i = lights[i : i + 1, 3:6]
+        d2 = vm.dot(ldir, ldir, xp)
+        geom = xp.abs(
+            vm.dot(nee_norm, ldir, xp) * vm.dot(l_norm_i, ldir, xp)
+        ) / d2 / d2 * lights[i : i + 1, 6:7]
+        f_entry = xp.where(sss_entry, fr_alb, fr)
+        contrib = l_emis_i * f_entry * geom
+        if has_sss:
+            fres_o = sampling.fresnel_exit(
+                r0_sss, xp.abs(vm.dot(_unit(ldir, xp), exit_norm, xp))
+            )
+            contrib_exit = (
+                l_emis_i * fres_o * bss * geom / PI * total_area
+            )
+            contrib = xp.where(sss_exit, contrib_exit, contrib)
+        l_dir = l_dir + xp.where(ok, contrib, 0.0)
+
+    # ---- NEE environment (cu:968-980 / 1111-1130) ----
+    cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
+    env_entry = (sky * xp.where(sss_entry, fr_alb, fr)
+                 * cos_h * (2.0 * PI))
+    if has_sss:
+        fres_oh = sampling.fresnel_exit(
+            r0_sss, xp.abs(vm.dot(hdir, exit_norm, xp))
+        )
+        env_exit = sky * fres_oh * bss * cos_h * 2.0  # cu:1130
+        env_c = xp.where(sss_exit, env_exit, env_entry)
+    else:
+        env_c = env_entry
+    l_dir = l_dir + xp.where(needs_nee & ~h_hit, env_c, 0.0)
+
+    # ---- branch scale on l_dir (cu:986, 1133, 1322) ----
+    scale = xp.where(
+        sss_entry, k / sss_rate,
+        xp.where(sss_exit, k / (1.0 - sss_rate), k),
+    )
+    l_dir = l_dir * scale
+    l_dir = xp.where(needs_nee, l_dir, 0.0)
+
+    # ---- Russian roulette + continuation acceptance ----
+    rr_ok = u_rr < rr_rate
+    # strict (em < eps).all(), matching the oracle / reference (cu:1005
+    # region; cpuref lines 141/188/273): a channel exactly AT the
+    # threshold rejects continuation. max-form is boolean-identical
+    # (incl. NaN propagation) and avoids a Mosaic i1 lane-reduce.
+    c_nonemit = xp.max(c_obj_em, axis=-1, keepdims=True) < EMIT_SKIP_EPS
+    # (mirror|dirref) | c_nonemit ≡ where(mirror|dirref, True, c_nonemit)
+    accept = alive & rr_ok & c_hit & ((is_mirror | is_dirref) | c_nonemit)
+    killed_out = killed
+    if has_refract:
+        accept = accept & ~(is_dirref & ref_escaped)
+        killed_out = killed | (alive & is_dirref & ref_escaped)
+
+    cos_c = xp.abs(vm.dot(cdir_u, nee_norm, xp))
+    rate_diffuse = fr * cos_c / rr_rate * k  # cu:1344 (+ *k at push, 1352)
+    rate_entry = fr * cos_c / rr_rate * (k / sss_rate)  # cu:1008, 1016
+    if has_sss:
+        fres_oc = sampling.fresnel_exit(
+            r0_sss, xp.abs(vm.dot(cdir_u, exit_norm, xp)))
+        rate_exit = (
+            bss * fres_oc * xp.abs(vm.dot(cdir_u, exit_norm, xp))
+            * total_area * 2.0 / rr_rate * (k / (1.0 - sss_rate))
+        )  # cu:1160, 1166
+    else:
+        rate_exit = xp.zeros(m3, sky.dtype)
+    rate_mirror = fr * (k / (rr_rate / PI))  # cu:1391
+    rate = xp.where(sss_entry, rate_entry, rate_diffuse)
+    if has_sss:
+        rate = xp.where(sss_exit, rate_exit, rate)
+    rate = xp.where(is_mirror, rate_mirror, rate)
+    if has_refract:
+        rate = xp.where(is_dirref, ref_rate * (k / rr_rate), rate)
+
+    # ---- break values (cu:1396, 1254) ----
+    mirror_sky = sky_c * rate_mirror
+    dirref_sky = sky_c * ref_rate * (k / rr_rate)
+    break_val = l_dir  # diffuse / entry / exit keep their NEE sum
+    zeros3 = xp.zeros(m3, sky.dtype)
+    break_val = xp.where(
+        is_mirror & rr_ok & ~c_hit, mirror_sky,
+        xp.where(is_mirror, zeros3, break_val),
+    )
+    if has_refract:
+        break_val = xp.where(
+            is_dirref & rr_ok & ~c_hit & ~ref_escaped, dirref_sky,
+            xp.where(is_dirref, zeros3, break_val),
+        )
+    else:
+        break_val = xp.where(is_dirref, zeros3, break_val)
+    break_val = xp.where(emit_break, emissive, break_val)
+
+    # ---- emit (dir_b, rate_b) (cu:1410-1415 stack entries) ----
+    dir_out = xp.where(
+        accept,
+        xp.where(is_mirror | is_dirref, zeros3, l_dir),
+        xp.where(active, break_val, 0.0),
+    )
+    rate_out = xp.where(
+        accept, rate,
+        xp.where(active, 0.0, 1.0),
+    )
+    new_src = cont_src + cdir_u * c_t
+    return dir_out, rate_out, new_src, accept, killed_out
+
+
 def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
                 cont_override=None, rows=None, want_rows=False):
     """One masked megakernel bounce. Returns (state, (dir_b, rate_b)).
@@ -367,130 +499,58 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     c_idx = bidx[m * e_cnt + m :]
     c_t = bt[m * e_cnt + m :]
 
-    # ---- NEE light contributions ----
-    l_dir = xp.zeros_like(ray_src)
-    if e_cnt > 0:
-        ok = l_gate & l_hit & (l_idx == le_ids[None, :])
-        d2 = vm.dot_s(ldir, ldir, xp)
-        geom = xp.abs(
-            vm.dot_s(nee_norm[:, None, :], ldir, xp)
-            * vm.dot_s(l_norm[None], ldir, xp)
-        ) / d2 / d2 * l_area[None]
-        f_entry = xp.where(sss_entry[:, None, None], fr_alb[:, None, :],
-                           fr[:, None, :])
-        contrib_entry = l_emis[None] * f_entry * geom[..., None]
-        if sd.has_sss:
-            fres_o = sampling.fresnel_exit(
-                r0_sss[:, None, :],
-                xp.abs(vm.dot(_unit(ldir, xp), exit_norm[:, None, :], xp)),
-            )
-            contrib_exit = (
-                l_emis[None] * fres_o * bss[:, None, :] * geom[..., None]
-                / PI * total_area[:, None, :]
-            )
-            contrib = xp.where(sss_exit[:, None, None], contrib_exit, contrib_entry)
-        else:
-            contrib = contrib_entry
-        l_dir = l_dir + xp.where(ok[..., None], contrib, 0.0).sum(axis=1)
-
-    # ---- NEE environment ----
-    # one merged env fetch for the NEE direction and the continuation
-    # direction (mirror/dirref miss-to-sky): halves the row-gather count
+    # ---- post-trace resolve: one merged env fetch, then the shared
+    # resolve_tail (Pallas kernel on TPU, plain XLA/NumPy otherwise) ----
     cdir_u = _unit(cdir, xp)
     env2 = envmap.sample_env_sd(
         sd, xp.concatenate([_unit(hdir, xp), cdir_u]), xp, clamp=cfg.hdr_clamp
     )
     sky = env2[:m]
     sky_c = env2[m:]
-    cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
-    env_entry = sky * xp.where(sss_entry[..., None], fr_alb, fr) * cos_h * (2.0 * PI)
-    if sd.has_sss:
-        fres_oh = sampling.fresnel_exit(
-            r0_sss, xp.abs(vm.dot(hdir, exit_norm, xp))
-        )
-        env_exit = sky * fres_oh * bss * cos_h * 2.0  # cu:1130
-        env_c = xp.where(sss_exit[..., None], env_exit, env_entry)
-    else:
-        env_c = env_entry
-    l_dir = l_dir + xp.where((needs_nee & ~h_hit)[..., None], env_c, 0.0)
 
-    # ---- branch scale on l_dir (cu:986, 1133, 1322) ----
-    scale = xp.where(
-        sss_entry[..., None], k / cfg.sss_rate,
-        xp.where(sss_exit[..., None], k / (1.0 - cfg.sss_rate), k),
-    )
-    l_dir = l_dir * scale
-    l_dir = xp.where(needs_nee[..., None], l_dir, 0.0)
-
-    # ---- Russian roulette + continuation acceptance ----
     u_rr = u(S.RR)
-    rr_ok = u_rr < cfg.rr_rate
     crow = _tri_rows(sd, xp.where(c_hit, c_idx, 0))
     c_mrow = _mat_rows(sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp)
     c_obj_em = c_mrow[:, MAT.MAT_EMISSIVE]
-    # strict (em < eps).all(), matching the oracle / reference (cu:1005
-    # region; cpuref lines 141/188/273): a channel exactly AT the
-    # threshold rejects continuation
-    c_nonemit = (c_obj_em < EMIT_SKIP_EPS).all(axis=-1)
-    accept = alive & rr_ok & c_hit & xp.where(
-        is_mirror | is_dirref, True, c_nonemit
-    )
-    if sd.has_refract:
-        accept = accept & ~(is_dirref & ref_escaped)
-        killed = killed | (alive & is_dirref & ref_escaped)
 
-    cos_c = xp.abs(vm.dot(cdir_u, nee_norm, xp))
-    rate_diffuse = fr * cos_c / cfg.rr_rate * k  # cu:1344 (+ *k at push, cu:1352)
-    rate_entry = fr * cos_c / cfg.rr_rate * (k / cfg.sss_rate)  # cu:1008, 1016
-    if sd.has_sss:
-        fres_oc = sampling.fresnel_exit(r0_sss, xp.abs(vm.dot(cdir_u, exit_norm, xp)))
-        rate_exit = (
-            bss * fres_oc * xp.abs(vm.dot(cdir_u, exit_norm, xp))
-            * total_area * 2.0 / cfg.rr_rate * (k / (1.0 - cfg.sss_rate))
-        )  # cu:1160, 1166
+    # per-light visibility: exact-index test against the nearest hit
+    # (PathTrace.cu:959-961 semantics)
+    if e_cnt > 0:
+        l_ok = l_gate & l_hit & (l_idx == le_ids[None, :])     # [M, E]
+        lights = xp.concatenate([
+            l_norm, l_emis, l_area[:, None],
+            xp.zeros((e_cnt, 1), ray_src.dtype),
+        ], axis=1)                                             # [E, 8]
     else:
-        rate_exit = xp.zeros_like(ray_src)
-    rate_mirror = fr * (k / (cfg.rr_rate / PI))  # cu:1391
-    rate = xp.where(sss_entry[..., None], rate_entry, rate_diffuse)
-    if sd.has_sss:
-        rate = xp.where(sss_exit[..., None], rate_exit, rate)
-    rate = xp.where(is_mirror[..., None], rate_mirror, rate)
-    if sd.has_refract:
-        rate = xp.where(is_dirref[..., None], ref_rate * (k / cfg.rr_rate), rate)
+        l_ok = xp.zeros((m, 0), bool)
+        lights = xp.zeros((0, 8), ray_src.dtype)
+    ldir_list = [ldir[:, i, :] for i in range(e_cnt)]
+    l_ok_list = [l_ok[:, i : i + 1] for i in range(e_cnt)]
 
-    # ---- break values ----
-    # mirror / dirref miss-to-sky terms (cu:1396, 1254); sky_c fetched
-    # above in the merged env gather
-    mirror_sky = sky_c * rate_mirror
-    dirref_sky = sky_c * ref_rate * (k / cfg.rr_rate)
-    break_val = l_dir  # diffuse / entry / exit keep their NEE sum
-    break_val = xp.where(
-        (is_mirror & rr_ok & ~c_hit)[..., None], mirror_sky,
-        xp.where(is_mirror[..., None], xp.zeros_like(l_dir), break_val),
+    c2 = lambda a: a[:, None]  # [M] -> [M, 1] (resolve_tail is 2D-shaped)
+    tail_args = (
+        e_cnt, sd.has_sss, sd.has_refract, cfg.rr_rate, cfg.sss_rate,
+        ldir_list, l_ok_list, lights, sky, sky_c, hdir, cdir_u,
+        nee_norm, exit_norm, bss, fr, fr_alb, emissive, c_obj_em,
+        cont_src, ref_rate, r0_sss, total_area, k, c2(u_rr), c2(c_t),
+        c2(sss_entry), c2(sss_exit), c2(is_mirror), c2(is_dirref),
+        c2(alive), c2(active), c2(emit_break), c2(killed), c2(needs_nee),
+        c2(c_hit), c2(h_hit), c2(ref_escaped),
     )
-    if sd.has_refract:
-        break_val = xp.where(
-            (is_dirref & rr_ok & ~c_hit & ~ref_escaped)[..., None], dirref_sky,
-            xp.where(is_dirref[..., None], xp.zeros_like(l_dir), break_val),
+    if xp is jnp and getattr(cfg, "pallas_shading", True):
+        from ..ops.pallas import shade_resolve
+
+        dir_out, rate_out, new_src, accept2, killed2 = (
+            shade_resolve.resolve_tail_jnp(*tail_args)
         )
     else:
-        break_val = xp.where(is_dirref[..., None], xp.zeros_like(l_dir), break_val)
-    break_val = xp.where(emit_break[..., None], emissive, break_val)
-
-    # ---- emit (dir_b, rate_b) and advance state ----
-    dir_out = xp.where(
-        accept[..., None],
-        xp.where((is_mirror | is_dirref)[..., None], xp.zeros_like(l_dir), l_dir),
-        xp.where(active[..., None], break_val, 0.0),
-    )
-    rate_out = xp.where(
-        accept[..., None], rate,
-        xp.where(active[..., None], 0.0, 1.0),
-    )
-
-    new_src = cont_src + cdir_u * c_t[..., None]
-    ray_src = xp.where(accept[..., None], new_src, ray_src)
-    out_dir = xp.where(accept[..., None], -cdir_u, out_dir)
+        dir_out, rate_out, new_src, accept2, killed2 = resolve_tail(
+            xp, *tail_args
+        )
+    accept = accept2[:, 0]
+    killed = killed2[:, 0]
+    ray_src = xp.where(accept2, new_src, ray_src)
+    out_dir = xp.where(accept2, -cdir_u, out_dir)
     hit_idx = xp.where(accept, c_idx.astype(hit_idx.dtype), hit_idx)
     active = accept
 

@@ -78,23 +78,35 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
     act = act * (cid_i < n_clusters).astype(jnp.float32)     # [1, Cp]
 
     # ---- 2. compact ids into sublane scratch (matmul cumsum) ----
-    pos = jnp.dot(act, triu_ref[:], preferred_element_type=jnp.float32)
+    # The one-hot select is the dominant per-tile FIXED cost (measured:
+    # with visits entirely stubbed the loop still paid ~2 ms/iter in
+    # kernel prep across ~640 tiles), so it is (a) capped at L_CAP rows
+    # — a tile beyond the cap runs a dense sweep of all clusters
+    # instead (exact, just denser) — and (b) skipped for empty tiles
+    # (the median bounce-batch tile has zero candidates).
     cnt = jnp.sum(act, axis=1, keepdims=True)
     cnt_ref[0:1, 0:1] = cnt.astype(jnp.int32)
-    # slot l holds (cid + 1) of the l-th active cluster; empty slots stay
-    # 0 so the visit loop's (id - 1 >= 0) guard skips them
-    l_iota = jax.lax.broadcasted_iota(jnp.int32, (cp, cp), 0).astype(jnp.float32)
-    sel = (pos == l_iota + 1.0) & (act > 0.0)
-    ids_f = jnp.sum(
-        jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
-        axis=1, keepdims=True,
-    )                                                        # [Cp, 1]
-    ids_ref[:] = ids_f.astype(jnp.int32)
 
-    # ---- 3+4. visit loop with deferred reduction ----
     n_act = cnt_ref[0, 0]
     if debug_variant == "slab_only":   # perf ablation: skip the visits
         n_act = n_act * 0
+    elif debug_variant.startswith("cap"):  # perf ablation: visit cap
+        n_act = jnp.minimum(n_act, int(debug_variant[3:]))
+
+    l_cap = ids_ref.shape[0]
+
+    @pl.when((n_act > 0) & (n_act <= l_cap))
+    def _():
+        pos = jnp.dot(act, triu_ref[:], preferred_element_type=jnp.float32)
+        # slot l holds (cid + 1) of the l-th active cluster; empty slots
+        # stay 0 so the visit loop's (id - 1 >= 0) guard skips them
+        l_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (l_cap, cp), 0).astype(jnp.float32)
+        sel = (pos == l_iota + 1.0) & (act > 0.0)
+        ids_ref[:] = jnp.sum(
+            jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)                                  # [L_CAP, 1]
 
     # Empty-tile fast path: the median bounce-batch tile has ZERO
     # candidate clusters (dead/sky lanes), so skipping the scratch init,
@@ -130,21 +142,32 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         return ok, a, st, begin
 
     def run_visits(test_fn):
-        def visit(l, carry):
-            cid0 = ids_ref[2 * l, 0] - 1
-            cid1 = ids_ref[2 * l + 1, 0] - 1
+        @pl.when(n_act <= l_cap)
+        def _():
+            def visit(l, carry):
+                cid0 = ids_ref[2 * l, 0] - 1
+                cid1 = ids_ref[2 * l + 1, 0] - 1
 
-            @pl.when(cid0 >= 0)
-            def _():
-                test_fn(cid0)
+                @pl.when(cid0 >= 0)
+                def _():
+                    test_fn(cid0)
 
-            @pl.when(cid1 >= 0)
-            def _():
-                test_fn(cid1)
+                @pl.when(cid1 >= 0)
+                def _():
+                    test_fn(cid1)
 
-            return carry
+                return carry
 
-        jax.lax.fori_loop(0, (n_act + 1) // 2, visit, 0)
+            jax.lax.fori_loop(0, (n_act + 1) // 2, visit, 0)
+
+        @pl.when(n_act > l_cap)
+        def _():  # candidate overflow: exact dense sweep of every cluster
+            def dense(c_, carry):
+                test_fn(c_)
+                return carry
+
+            # traced bound keeps Mosaic from unrolling the static C
+            jax.lax.fori_loop(0, n_act * 0 + n_clusters, dense, 0)
 
     @pl.when((n_act > 0) & ~is_anyhit)
     def _():
@@ -200,9 +223,9 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
-                                             "_debug_variant"))
-def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=128,
-                                interpret=False, anyhit=None,
+                                             "l_cap", "_debug_variant"))
+def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
+                                interpret=False, anyhit=None, l_cap=64,
                                 _debug_variant="full"):
     """Fused cluster-sweep nearest hit. Same contract as the other
     intersectors: (hit [M], index [M] i32, t [M] f32, t along unit dir).
@@ -260,7 +283,7 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=128,
             jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cp, 1), jnp.int32),      # candidate ids
+            pltpu.VMEM((l_cap, 1), jnp.int32),   # candidate ids (L_CAP)
             pltpu.VMEM((1, 1), jnp.int32),       # candidate count
             pltpu.VMEM((tile_m, kp), jnp.float32),  # best-t wide
             pltpu.VMEM((tile_m, kp), jnp.int32),    # winner begin wide

@@ -42,6 +42,10 @@ class RenderConfig:
     bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
     # make_nearest asserts it covers the built tree's depth + 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
+    pallas_shading: bool = False      # fuse the post-trace resolve into a
+    # Pallas kernel (ops/pallas/shade_resolve). Parity-tested but OFF by
+    # default: with the current [M,small] padded-layout interfaces it
+    # measured 7.4 vs 8.7 Mrays/s (docs/PERF.md round-3 layout plan)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

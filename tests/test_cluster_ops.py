@@ -315,6 +315,22 @@ class TestSweepFused:
         np.testing.assert_array_equal(ib[hb], isw[hb])
         np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-3, atol=5e-4)
 
+    def test_fused_overflow_dense_fallback(self, scene):
+        """Tiles beyond the candidate cap run the dense sweep, exactly."""
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        sdn, sdj = scene
+        o, d, ex = _rays(256, 23)
+        hb, ib, tb = bruteforce.nearest_hit_np(o, d, ex, sdn.tri_p1,
+                                               sdn.tri_p2, sdn.tri_p3)
+        hs, isw, ts = map(np.asarray, cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
+            jnp.asarray(o), jnp.asarray(d), jnp.asarray(ex), sdj,
+            interpret=True, l_cap=4,  # force overflow on most tiles
+        ))
+        np.testing.assert_array_equal(hb, hs)
+        np.testing.assert_array_equal(ib[hb], isw[hb])
+        np.testing.assert_allclose(tb[hb], ts[hb], rtol=1e-3, atol=5e-4)
+
     def test_fused_zero_direction_rays_miss(self, scene):
         from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
 
