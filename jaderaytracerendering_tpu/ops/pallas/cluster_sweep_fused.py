@@ -114,8 +114,8 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
     # removes most of the per-tile fixed cost on real workloads.
     @pl.when(n_act == 0)
     def _():
-        bt_ref[:] = jnp.full((tm, 1), INF, jnp.float32)
-        bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
+        bt_ref[:] = jnp.full((1, tm), INF, jnp.float32)
+        bi_ref[:] = jnp.zeros((1, tm), jnp.int32)
 
     pid = pl.program_id(0)
     has_anyhit = anyhit_tiles[1] > anyhit_tiles[0]
@@ -193,8 +193,9 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         tmin = jnp.min(btw, axis=1, keepdims=True)           # [TM, 1]
         idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
         sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
-        bt_ref[:] = tmin
-        bi_ref[:] = jnp.min(sel2, axis=1, keepdims=True)
+        bt_ref[:] = jnp.transpose(tmin, (1, 0))
+        bi_ref[:] = jnp.transpose(jnp.min(sel2, axis=1, keepdims=True),
+                                  (1, 0))
 
     if anyhit_tiles[1] > anyhit_tiles[0]:
         # Any-hit tiles (the HDR-visibility segment): downstream consumes
@@ -218,8 +219,8 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
             run_visits(test_anyhit)
 
             hit_any = jnp.max(btw_ref[:], axis=1, keepdims=True) > 0.0
-            bt_ref[:] = jnp.where(hit_any, 1.0, INF)
-            bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
+            bt_ref[:] = jnp.transpose(jnp.where(hit_any, 1.0, INF), (1, 0))
+            bi_ref[:] = jnp.zeros((1, tm), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
@@ -273,14 +274,14 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # coef blocks, whole
         ],
         out_specs=[
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((l_cap, 1), jnp.int32),   # candidate ids (L_CAP)
@@ -291,6 +292,6 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
         interpret=interpret,
     )(feats, exclude[:, None].astype(jnp.int32), sd.cluster_planes,
       sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
-    bt = bt[:m, 0]
-    bi = bi[:m, 0]
+    bt = bt[0, :m]
+    bi = bi[0, :m]
     return bt < INF, jnp.where(bt < INF, bi, 0), bt
