@@ -154,8 +154,10 @@ def _measure_preview_fps(base, width: int, height: int,
     args = __import__("copy").copy(base)
     args.tris = 20_000
     ds, sd = _scene(args)
+    # 2-bounce preview frames are dispatch-bound: big launches (the
+    # preview CLI's default) nearly 3x the frame rate at 1024^2
     cfg = RenderConfig(width=width, height=height, spp=1, spp_batch=1,
-                       max_depth=2, rays_per_launch=base.rays_per_launch,
+                       max_depth=2, rays_per_launch=1 << 18,
                        traversal=base.traversal, integrator="preview")
     film = Film.create(cfg.height, cfg.width)
     film = R.render_film(sd, ds.camera, cfg, film=film)  # compile

@@ -62,6 +62,11 @@ def main(argv=None) -> None:
     cfg = cfg.replace(integrator="preview")
     if args.spp is None:
         cfg = cfg.replace(spp=1, spp_batch=1)
+    if args.rays_per_launch is None:
+        # the 2-bounce no-NEE preview compiles far smaller than the full
+        # integrator, so much bigger launches are safe — and the frame is
+        # dispatch-bound: 16k-ray chunks = 0.4 fps at 1024^2, 256k = 3.5
+        cfg = cfg.replace(rays_per_launch=1 << 18)
     sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
     stage(f"scene: {sd.n_triangles} tris, {sd.n_nodes} nodes, {sd.n_emit} lights")
 
@@ -77,6 +82,9 @@ def main(argv=None) -> None:
     def step():
         nonlocal film, frame, t_last
         film = R.render_film(sd, cam, cfg.replace(spp=cfg.spp_batch), film=film)
+        # honest frame time: axon dispatch is async — force a (tiny)
+        # host transfer that depends on the frame's accumulation
+        float(np.asarray(film.accum[:1, :1]).sum())
         frame += 1
         now = time.perf_counter()
         # the reference's per-frame FPS line (PathTrace.cpp:677-680)
