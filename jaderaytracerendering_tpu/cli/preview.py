@@ -144,8 +144,14 @@ def main(argv=None) -> None:
         elif cmd == "r":
             spp = int(tok[1]) if len(tok) > 1 else 64
             stage(f"offline render at {spp}spp...")
+            # the preview's big launches are for the 2-bounce integrator
+            # only; the full integrator must stay at the 16k lane cap
+            # (larger launch graphs crash the remote compiler)
             off = R.render_film(
-                sd, cam, cfg.replace(spp=spp, max_depth=16, integrator="full")
+                sd, cam, cfg.replace(
+                    spp=spp, max_depth=16, integrator="full",
+                    rays_per_launch=min(cfg.rays_per_launch, 1 << 14),
+                )
             )
             save(args.out, off, cfg.tonemap)
             moved = False
