@@ -215,13 +215,16 @@ def _stream_kernel(f_ref, ex_ref, planes_ref, chunkp_ref, begin_ref,
         tmin = jnp.min(btw, axis=1, keepdims=True)           # [TM, 1]
         idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
         sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
-        bt_ref[:] = tmin
-        bi_ref[:] = jnp.min(sel2, axis=1, keepdims=True)
+        # transposed [1, TM] outputs: lane-dense HBM buffers (a [Mp, 1]
+        # pallas output forces a 128-lane-padded layout)
+        bt_ref[:] = jnp.transpose(tmin, (1, 0))
+        bi_ref[:] = jnp.transpose(jnp.min(sel2, axis=1, keepdims=True),
+                                  (1, 0))
 
     @pl.when(total == 0)
     def _():
-        bt_ref[:] = jnp.full((tm, 1), INF, jnp.float32)
-        bi_ref[:] = jnp.zeros((tm, 1), jnp.int32)
+        bt_ref[:] = jnp.full((1, tm), INF, jnp.float32)
+        bi_ref[:] = jnp.zeros((1, tm), jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "stream",
@@ -281,20 +284,20 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
             pl.BlockSpec(memory_space=pl.ANY if stream else pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((mp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((1, mp), jnp.int32),
         ],
         scratch_shapes=scratch,
         interpret=interpret,
     )(feats, exclude[:, None].astype(jnp.int32), sd.cluster_planes,
       sd.cluster_chunk_planes, sd.cluster_begin_col, triu128,
       sd.cluster_coef)
-    bt = bt[:m, 0]
-    bi = bi[:m, 0]
+    bt = bt[0, :m]
+    bi = bi[0, :m]
     return bt < INF, jnp.where(bt < INF, bi, 0), bt
