@@ -110,6 +110,24 @@ def ray_features(origins, dirs, xp):
     return xp.concatenate([dirs, w, origins, ones], axis=-1)
 
 
+def ray_features_t16(origins, dirs, xp):
+    """Transposed, 16-row-padded features [16, M] for the sweep kernels.
+
+    Lane-dense layout: a [M, 10] buffer on TPU pads 10 lanes to 128
+    (33 MB at the bounce-batch size); [16, M] keeps lanes dense and the
+    16 sublanes match the padded coefficient-row count, so kernels use
+    the transposed tile directly (zero rows hit zero coefficient rows).
+    """
+    w = vm.cross(dirs, origins, xp)
+    m = origins.shape[0]
+    rows = [dirs[:, 0], dirs[:, 1], dirs[:, 2],
+            w[:, 0], w[:, 1], w[:, 2],
+            origins[:, 0], origins[:, 1], origins[:, 2],
+            xp.ones((m,), origins.dtype)]
+    rows += [xp.zeros((m,), origins.dtype)] * 6
+    return xp.stack(rows, axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def nearest_hit_gemm_jnp(origins, dirs, exclude, coefs, chunk=2048):
     """MXU brute-force nearest hit.

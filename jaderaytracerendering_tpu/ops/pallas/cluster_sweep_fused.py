@@ -49,9 +49,12 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
                   kp: int, cp: int, n_clusters: int,
                   anyhit_tiles: tuple = (0, 0),
                   debug_variant: str = "full"):
-    tm = f_ref.shape[0]
-    feats = f_ref[:]                         # [TM, 10] = (d, d x o, o, 1)
-    ex = ex_ref[:]                           # [TM, 1]
+    tm = f_ref.shape[1]
+    # transposed lane-dense inputs: [16, TM] features / [1, TM] exclusion
+    # (a [Mp, 10] buffer pads 10 lanes to 128 = 33 MB at batch size);
+    # one in-kernel relayout each, then the math is row-major as before
+    feats = jnp.transpose(f_ref[:], (1, 0))  # [TM, 16] = (d, dxo, o, 1, 0..)
+    ex = jnp.transpose(ex_ref[:], (1, 0))    # [TM, 1]
 
     # ---- 1. slab tests -> active clusters [1, Cp] ----
     # identical math/semantics to cluster_sweep.prepare_tiles: per-axis
@@ -174,10 +177,8 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
         bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
 
-        featsp = jnp.concatenate(
-            [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)  # 16-row coef pad
-        fh = featsp.astype(jnp.bfloat16)
-        fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
         fcat = jnp.concatenate([fh, fh, fl], axis=1)         # [TM, 48]
 
         def test_cluster(cid):
@@ -206,10 +207,8 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         def _():
             btw_ref[:] = jnp.zeros((tm, kp), jnp.float32)
 
-            featsp = jnp.concatenate(
-                [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)
-            fh = featsp.astype(jnp.bfloat16)
-            fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+            fh = feats.astype(jnp.bfloat16)
+            fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
             fcat = jnp.concatenate([fh, fh, fl], axis=1)
 
             def test_anyhit(cid):
@@ -249,7 +248,7 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
         exclude = jnp.concatenate([exclude, jnp.full((pad,), -1, exclude.dtype)])
     mp = m + pad
     n_tiles = mp // tile_m
-    feats = gemm_intersect.ray_features(origins, dirs_u, jnp)  # [Mp, 10]
+    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, Mp]
 
     if anyhit is not None:
         tlo = -(-anyhit[0] // tile_m)     # first tile fully inside
@@ -264,9 +263,9 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_m, 10), lambda i: (i, 0),
+            pl.BlockSpec((16, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # begin col, whole
@@ -290,7 +289,7 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
             pltpu.VMEM((tile_m, kp), jnp.int32),    # winner begin wide
         ],
         interpret=interpret,
-    )(feats, exclude[:, None].astype(jnp.int32), sd.cluster_planes,
+    )(feats, exclude[None, :].astype(jnp.int32), sd.cluster_planes,
       sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
     bt = bt[0, :m]
     bi = bi[0, :m]

@@ -53,9 +53,11 @@ def _stream_kernel(f_ref, ex_ref, planes_ref, chunkp_ref, begin_ref,
                    ids_ref, off_ref, cstat_ref, btw_ref, bw_ref, *rest,
                    kp: int, cp: int, n_clusters: int, l_cap: int,
                    stream: bool):
-    tm = f_ref.shape[0]
-    feats = f_ref[:]                         # [TM, 10] = (d, d x o, o, 1)
-    ex = ex_ref[:]                           # [TM, 1]
+    tm = f_ref.shape[1]
+    # transposed lane-dense inputs (see cluster_sweep_fused): one
+    # in-kernel relayout each, then row-major math as before
+    feats = jnp.transpose(f_ref[:], (1, 0))  # [TM, 16] = (d, dxo, o, 1, 0..)
+    ex = jnp.transpose(ex_ref[:], (1, 0))    # [TM, 1]
     n_chunks = cp // 128
     ncp = cstat_ref.shape[0]                 # chunk lanes (>= n_chunks)
 
@@ -119,10 +121,8 @@ def _stream_kernel(f_ref, ex_ref, planes_ref, chunkp_ref, begin_ref,
     total = off_ref[0, 0]
 
     # ---- visits: bf16x3 MXU MT + deferred reduction (fused-kernel form) ----
-    featsp = jnp.concatenate(
-        [feats, jnp.zeros((tm, 6), jnp.float32)], axis=1)  # 16-row coef pad
-    fh = featsp.astype(jnp.bfloat16)
-    fl = (featsp - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+    fh = feats.astype(jnp.bfloat16)
+    fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
     fcat = jnp.concatenate([fh, fh, fl], axis=1)             # [TM, 48]
     k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
 
@@ -251,7 +251,7 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
         exclude = jnp.concatenate([exclude, jnp.full((pad,), -1, exclude.dtype)])
     mp = m + pad
     n_tiles = mp // tile_m
-    feats = gemm_intersect.ray_features(origins, dirs_u, jnp)  # [Mp, 10]
+    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, Mp]
     triu128 = jnp.triu(jnp.ones((128, 128), jnp.float32))
     ncp = sd.cluster_chunk_planes.shape[1]
 
@@ -273,9 +273,9 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
         kern,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tile_m, 10), lambda i: (i, 0),
+            pl.BlockSpec((16, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile_m), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cluster planes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # chunk planes
@@ -295,7 +295,7 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(feats, exclude[:, None].astype(jnp.int32), sd.cluster_planes,
+    )(feats, exclude[None, :].astype(jnp.int32), sd.cluster_planes,
       sd.cluster_chunk_planes, sd.cluster_begin_col, triu128,
       sd.cluster_coef)
     bt = bt[0, :m]
