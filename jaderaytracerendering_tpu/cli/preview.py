@@ -82,9 +82,10 @@ def main(argv=None) -> None:
     def step():
         nonlocal film, frame, t_last
         film = R.render_film(sd, cam, cfg.replace(spp=cfg.spp_batch), film=film)
-        # honest frame time: axon dispatch is async — force a (tiny)
-        # host transfer that depends on the frame's accumulation
-        float(np.asarray(film.accum[:1, :1]).sum())
+        # honest frame time: axon dispatch is async and slice transfers
+        # under-synchronize — pull the full film (the preview would
+        # display it anyway)
+        np.asarray(film.accum)
         frame += 1
         now = time.perf_counter()
         # the reference's per-frame FPS line (PathTrace.cpp:677-680)

@@ -61,9 +61,10 @@ def main(argv=None) -> None:
 
         film = R.render_film(sd, cam, cfg, film=film, progress=progress)
     # honest wall-clock: axon dispatches async and block_until_ready can
-    # return early — a host transfer that depends on the full accum
-    # chain is the only reliable completion barrier
-    float(np.asarray(film.accum[:1, :1]).sum())
+    # return early; even a partial-film slice transfer has been observed
+    # to under-synchronize — only a FULL-buffer host transfer is a
+    # reliable completion barrier (docs/PERF.md methodology)
+    accum_host = np.asarray(film.accum)
     dt = time.perf_counter() - t0
     spp_done = int(film.count)
     stage(f"rendered {cfg.width}x{cfg.height} @ {spp_done}spp in {dt:.1f}s "
