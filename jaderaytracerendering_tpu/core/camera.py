@@ -145,3 +145,44 @@ def generate_rays(
         xp.asarray(eye, xp.float32)[None, :], dirs.shape
     ).astype(xp.float32)
     return origins, dirs
+
+
+def generate_rays_p(
+    xp,
+    eye,
+    camera_rotate,
+    width: int,
+    height: int,
+    pixel_id,
+    sample_id,
+    seed=0,
+    jitter: str = "cuda",
+):
+    """Plane (SoA) form of generate_rays -> (origins V3, dirs V3).
+
+    Identical math per component (vecmath.vtransform mirrors _transform's
+    m[col, row] products), on dense [N] planes — the integrator's hot
+    path never materializes padded [N, 3] buffers (docs/PERF.md)."""
+    px = (pixel_id % width).astype(xp.float32)
+    py = (pixel_id // width).astype(xp.float32)
+    u1 = rng.uniform(xp, pixel_id, sample_id, 0, rng.DrawSites.JITTER_X, seed)
+    u2 = rng.uniform(xp, pixel_id, sample_id, 0, rng.DrawSites.JITTER_Y, seed)
+    if jitter == "cuda":
+        ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
+        ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
+    elif jitter == "gl":
+        ndc_x = -1.0 + 2.0 * (px + 0.5) / width + (u1 - 0.5) / width
+        ndc_y = -1.0 + 2.0 * (py + 0.5) / height + (u2 - 0.5) / height
+    else:
+        raise ValueError(f"unknown jitter mode {jitter!r}")
+
+    d = vecmath.V3(ndc_x, ndc_y, xp.full_like(ndc_x, FOCAL_Z))
+    m = xp.asarray(camera_rotate, xp.float32)
+    dirs = vecmath.vnormalize(vecmath.vtransform(m, d, 0.0), xp)
+    e = xp.asarray(eye, xp.float32)
+    origins = vecmath.V3(
+        xp.broadcast_to(e[0], px.shape).astype(xp.float32),
+        xp.broadcast_to(e[1], px.shape).astype(xp.float32),
+        xp.broadcast_to(e[2], px.shape).astype(xp.float32),
+    )
+    return origins, dirs

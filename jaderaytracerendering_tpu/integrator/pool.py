@@ -20,6 +20,11 @@ float precision (tested). The replay-stack composite
 with the reference's depth-cap quirk (the fold seeds from the last pushed
 l_dir) reproduced as an extra ``T * dir`` term when a lane hits
 max_depth, and the refraction-escape kill zeroing the path's L.
+
+Layout: the whole loop carry is lane-dense SoA — [M] planes, vecmath.V3
+triples, transposed [16, M] row tables, and a per-channel film — because
+every [M, K<128] buffer in a while-loop carry materializes with a 128-
+padded lane dimension each iteration (docs/PERF.md round-3 census).
 """
 
 from __future__ import annotations
@@ -33,11 +38,12 @@ import numpy as np
 
 from ..core import camera as camera_mod
 from ..core.film import Film
+from ..core.vecmath import V3, vwhere
 from ..ops import scanops
 from ..scene import envmap, scene as scene_mod
 from ..utils.config import RenderConfig
 from . import render as render_mod, wavefront
-from .wavefront import _mat_rows, _tri_rows, _unit
+from .wavefront import _mat_rows_t, _nearest_planes, _tri_rows_t, _unit_p
 
 
 def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
@@ -53,9 +59,9 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     m = pool_m
     # loop-invariant "empty lane" rows (triangle 0): carried rows of
     # inactive lanes must equal what a fresh where(active, hit_idx, 0)
-    # gather would produce
-    trow0 = sd.tri_table[0]
-    mrow0 = sd.mat_table[trow0[scene_mod.TRI_OBJ].astype(jnp.int32)]
+    # gather would produce. [16, 1] columns broadcast against [16, M].
+    trow0 = sd.tri_table[0][:, None]
+    mrow0 = sd.mat_table[trow0[scene_mod.TRI_OBJ, 0].astype(jnp.int32)][:, None]
 
     def spawn(fresh, next_sample, slot, pix, smp):
         """Assign queue samples to fresh lanes -> updated ids + masks."""
@@ -83,12 +89,13 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         return got, next_sample + consumed, slot, pix, smp
 
     def primary(pix, smp, mask):
-        o, d = camera_mod.generate_rays(
+        o, d = camera_mod.generate_rays_p(
             jnp, eye, cam_rot, cfg.width, cfg.height, pix, smp, cfg.seed,
             cfg.jitter,
         )
-        d = jnp.where(mask[:, None], d, 0.0)
-        hit, idx, t = nearest(o, d, jnp.full((m,), -1, jnp.int32))
+        d = vwhere(mask, d, 0.0, jnp)
+        hit, idx, t = _nearest_planes(
+            nearest, o, d, jnp.full((m,), -1, jnp.int32), jnp)
         return o, d, hit, idx, t
 
     def body(carry):
@@ -107,14 +114,14 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         b2 = jnp.where(active, b + 1, b)
         depth_capped = accept & (b2 >= cfg.max_depth)
         # reference fold seeds from the last pushed l_dir at the cap
-        l_acc = l_acc + jnp.where(depth_capped[:, None], t_put * dir_b, 0.0)
+        l_acc = l_acc + vwhere(depth_capped, t_put * dir_b, 0.0, jnp)
         finished = (active & ~accept) | depth_capped
         still = accept & ~depth_capped
 
         # ---- bank finished paths (scatter merged with sky misses below:
         # one 2M-update scatter costs ~2/3 of two M-update ones) ----
-        l_final = jnp.where(killed[:, None], 0.0, l_acc) + le0
-        contrib = jnp.where(finished[:, None], l_final, 0.0)
+        l_final = vwhere(killed, 0.0, l_acc, jnp) + le0
+        contrib = vwhere(finished, l_final, 0.0, jnp)
         slot_done = jnp.where(finished, slot, npix)
 
         # ---- respawn freed lanes on fresh samples ----
@@ -122,80 +129,89 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         got, next_sample, slot, pix, smp = spawn(fresh, next_sample, slot,
                                                  pix, smp)
         o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
-        sky = envmap.sample_env_sd(sd, _unit(d, jnp), jnp,
-                                   clamp=cfg.hdr_clamp)
-        row0 = _tri_rows(sd, jnp.where(p_hit, p_idx, 0))
-        p_mrow = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(jnp.int32),
-                           jnp)
-        p_le = p_mrow[:, scene_mod.MAT_EMISSIVE]
+        d_u = _unit_p(d, jnp)
+        sky = envmap.sample_env_sd_p(sd, d_u, jnp, clamp=cfg.hdr_clamp)
+        row0 = _tri_rows_t(sd, jnp.where(p_hit, p_idx, 0), jnp)
+        p_mrow = _mat_rows_t(sd, row0[scene_mod.TRI_OBJ].astype(jnp.int32),
+                             jnp)
+        p_le = V3(p_mrow[0], p_mrow[1], p_mrow[2])   # MAT_EMISSIVE
         # sky misses complete immediately
         miss = got & ~p_hit
-        accum = accum.at[
-            jnp.concatenate([slot_done, jnp.where(miss, slot, npix)])
-        ].add(
-            jnp.concatenate([contrib, jnp.where(miss[:, None], sky, 0.0)]),
-            mode="drop",
-        )
+        ids2 = jnp.concatenate([slot_done, jnp.where(miss, slot, npix)])
+        ax, ay, az = accum
+        ax = ax.at[ids2].add(
+            jnp.concatenate([contrib.x, jnp.where(miss, sky.x, 0.0)]),
+            mode="drop")
+        ay = ay.at[ids2].add(
+            jnp.concatenate([contrib.y, jnp.where(miss, sky.y, 0.0)]),
+            mode="drop")
+        az = az.at[ids2].add(
+            jnp.concatenate([contrib.z, jnp.where(miss, sky.z, 0.0)]),
+            mode="drop")
+        accum = (ax, ay, az)
         # one merged reduction for all four per-iteration counters (each
         # separate reduce is an unfused ~30us launch on axon); f32 sums
         # of 0/1 masks are exact up to 2^24 >> pool_m. n_rays is a
         # metric-only f32 counter (can exceed 2^31 on big renders, never
         # exact-compared).
         red = jnp.sum(jnp.stack(
-            [finished, miss, active, got], axis=1).astype(jnp.float32),
-            axis=0)
+            [finished, miss, active, got], axis=0).astype(jnp.float32),
+            axis=1)
         done = done + (red[0] + red[1]).astype(jnp.int32)
         n_rays = n_rays0 + red[2] * (sd.n_emit + 2) + red[3]
         started = got & p_hit
 
         active = still | started
-        ray_src = jnp.where(started[:, None], o + _unit(d, jnp) * p_t[:, None],
-                            ray_src2)
-        out_dir = jnp.where(started[:, None], -_unit(d, jnp), out_dir2)
+        ray_src = vwhere(started, o + d_u * p_t, ray_src2, jnp)
+        out_dir = vwhere(started, -d_u, out_dir2, jnp)
         hit_idx = jnp.where(started, p_idx, hit_idx2)
         b = jnp.where(started, 0, b2)
-        t_put = jnp.where(started[:, None], 1.0, t_put)
-        l_acc = jnp.where(started[:, None], 0.0, l_acc)
-        le0 = jnp.where(started[:, None], p_le, le0)
+        t_put = vwhere(started, 1.0, t_put, jnp)
+        l_acc = vwhere(started, 0.0, l_acc, jnp)
+        le0 = vwhere(started, p_le, le0, jnp)
         # next-iteration row carry: started lanes take the primary hit's
         # rows, continuing lanes the continuation hit's, idle lanes tri 0
-        st3 = started[:, None]
-        cont3 = still[:, None]
-        trow_n = jnp.where(st3, row0, jnp.where(cont3, crow, trow0[None]))
-        mrow_n = jnp.where(st3, p_mrow, jnp.where(cont3, c_mrow, mrow0[None]))
+        st2d = started[None, :]
+        cont2d = still[None, :]
+        trow_n = jnp.where(st2d, row0, jnp.where(cont2d, crow, trow0))
+        mrow_n = jnp.where(st2d, p_mrow, jnp.where(cont2d, c_mrow, mrow0))
 
         return (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0,
                 slot, pix, smp, next_sample, done, accum, it + 1, n_rays,
                 trow_n, mrow_n)
 
+    zf = jnp.zeros((m,), jnp.float32)
+    of = jnp.ones((m,), jnp.float32)
     init = (
         jnp.zeros(m, bool),
-        jnp.zeros((m, 3), jnp.float32),
-        jnp.zeros((m, 3), jnp.float32),
+        V3(zf, zf, zf),
+        V3(zf, zf, zf),
         jnp.zeros(m, jnp.int32),
         jnp.zeros(m, jnp.uint32),
-        jnp.ones((m, 3), jnp.float32),
-        jnp.zeros((m, 3), jnp.float32),
-        jnp.zeros((m, 3), jnp.float32),
+        V3(of, of, of),
+        V3(zf, zf, zf),
+        V3(zf, zf, zf),
         jnp.zeros(m, jnp.uint32),  # slot
         jnp.zeros(m, jnp.uint32),  # pix (global)
         jnp.zeros(m, jnp.uint32),  # smp
         jnp.int32(0),
         jnp.int32(0),
-        jnp.zeros((npix + 1, 3), jnp.float32),  # +1 drop row
+        tuple(jnp.zeros((npix + 1,), jnp.float32) for _ in range(3)),
         jnp.int32(0),
         jnp.float32(0),  # useful-ray counter (metric only)
-        jnp.broadcast_to(trow0[None], (m, trow0.shape[0])),  # row carry
-        jnp.broadcast_to(mrow0[None], (m, mrow0.shape[0])),
+        jnp.broadcast_to(trow0, (trow0.shape[0], m)),  # row carry [16, M]
+        jnp.broadcast_to(mrow0, (mrow0.shape[0], m)),
     )
 
     def cond(carry):
         return (carry[12] < total_samples) & (carry[14] < max_iters)
 
     out = jax.lax.while_loop(cond, body, init)
+    ax, ay, az = out[13]
+    film = jnp.stack([ax[:npix], ay[:npix], az[:npix]], axis=-1)
     # (film, samples done, useful rays, loop iterations) — iterations are
     # the perf diagnostic: wall time / iters is the per-bounce step cost
-    return out[13][:npix], out[12], out[15], out[14]
+    return film, out[12], out[15], out[14]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))

@@ -103,10 +103,26 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
         if use_fused:
             from ..ops.pallas import cluster_sweep_fused
 
-            return lambda o, d, e, anyhit=None, **_kw: (
+            # explicit sweep_fused on a scene too large for the VMEM
+            # tables would read a zero-row cluster_triu and mis-shape
+            # (scene.assemble only builds triu for c_pad <= 2048)
+            assert sd.cluster_triu.size > 0, (
+                "traversal='sweep_fused' needs the fused-sweep tables "
+                f"(cluster_triu empty at {sd.n_clusters} clusters); use "
+                "traversal='sweep' (auto-routes) or 'sweep_stream'"
+            )
+            fn = lambda o, d, e, anyhit=None, **_kw: (
                 cluster_sweep_fused.nearest_hit_sweep_fused_jnp(
                     o, d, e, sd, interpret=interp, anyhit=anyhit
                 ))
+            fn.supports_anyhit = True
+            # feats-level entry: the integrator feeds the transposed
+            # [16, B] feature planes directly (wavefront._nearest_planes)
+            fn.from_feats = lambda feats, ex, anyhit=None: (
+                cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp(
+                    feats, ex, sd, interpret=interp, anyhit=anyhit
+                ))
+            return fn
         if cfg.traversal == "sweep_mxu":
             from ..ops.pallas import cluster_sweep_mxu
 

@@ -232,6 +232,88 @@ def build_area_cdf_tables(prefix_area, obj_total_area, seg_begin, seg_end,
     return bucket.reshape(n_obj * nb, 2), win, nb
 
 
+# ---- lane-dense (SoA plane) variants ---------------------------------------
+#
+# Identical math to the [..., 3] forms above, on vecmath.V3 component
+# planes: per-component elementwise ops in the same association order, so
+# results are bit-compatible with the row-vector forms (which remain the
+# oracle-facing API). See docs/PERF.md round-3: the integrator's hot path
+# runs entirely on planes to keep XLA layouts dense.
+
+from ..core.vecmath import V3, vdot, vwhere
+
+
+def uniform_sphere_p(u_cos, u_phi, xp) -> V3:
+    """Plane form of uniform_sphere (PathTrace.cu:968-971)."""
+    cos_t = 2.0 * (u_cos - 0.5)
+    sin_t = xp.sqrt(xp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2.0 * PI * u_phi
+    return V3(sin_t * xp.cos(phi), sin_t * xp.sin(phi), cos_t)
+
+
+def fold_same_hemisphere_p(d: V3, normal: V3, reference: V3, xp) -> V3:
+    flip = vdot(d, normal) * vdot(reference, normal) < 0
+    return vwhere(flip, -d, d, xp)
+
+
+def fold_opposite_hemisphere_p(d: V3, normal: V3, reference: V3, xp) -> V3:
+    flip = vdot(d, normal) * vdot(reference, normal) > 0
+    return vwhere(flip, -d, d, xp)
+
+
+def triangle_point_p(p1: V3, p2: V3, p3: V3, u, v, xp) -> V3:
+    """Plane form of triangle_point (PathTrace.cu:936-945)."""
+    over = u + v > 1.0
+    u = xp.where(over, 1.0 - u, u)
+    v = xp.where(over, 1.0 - v, v)
+    return V3(p1.x + (p2.x - p1.x) * u + (p3.x - p1.x) * v,
+              p1.y + (p2.y - p1.y) * u + (p3.y - p1.y) * v,
+              p1.z + (p2.z - p1.z) * u + (p3.z - p1.z) * v)
+
+
+def bssrdf_p(dist, sigma: V3, xp) -> V3:
+    """Plane form of bssrdf (PathTrace.cu:1062-1063); dist is a plane."""
+    def chan(s):
+        return (xp.exp(-dist / s) + xp.exp(-(dist / 3.0) / s)) / (
+            s * (8.0 * PI) * dist
+        )
+
+    return V3(chan(sigma.x), chan(sigma.y), chan(sigma.z))
+
+
+def refract_dir_p(d_in: V3, normal: V3, eta, xp):
+    """Plane form of refract_dir (gen_refract_ray, PathTrace.cu:876-894)."""
+    cosi = vdot(d_in, normal)
+    n = vwhere(cosi > 0, -normal, normal, xp)
+    cosi = xp.abs(cosi)
+    cost2 = 1.0 - eta * eta * (1.0 - cosi * cosi)
+    full_reflex = cost2 <= 0
+    safe = xp.sqrt(xp.maximum(cost2, 0.0))
+    refracted = d_in * eta + n * (eta * cosi - safe)
+    return vwhere(full_reflex, d_in, refracted, xp), full_reflex
+
+
+def area_cdf_pick_fast_p(u, obj_id, sd, xp):
+    """area_cdf_pick_fast on planes with transposed row fetches: the
+    [M, 2]/[M, 32] gather outputs are transposed to [2, M]/[32, M] so
+    every downstream read is a dense sublane row, not a padded-lane
+    column slice."""
+    nb = sd.sss_nb
+    b = xp.clip((u * nb).astype(xp.int32), 0, nb - 1)
+    brow = xp.transpose(sd.sss_bucket[obj_id * nb + b])   # [2, M]
+    jlo, jhi = brow[0], brow[1]
+    target = u * sd.obj_total_area[obj_id]
+    wrow = xp.transpose(sd.sss_window[jlo])               # [32, M]
+    width = jhi - jlo
+    cnt = xp.zeros_like(jlo)
+    for k in range(CDF_WINDOW):
+        cnt = cnt + ((k < width) & (wrow[k] < target)).astype(jlo.dtype)
+    picked = xp.zeros_like(target)
+    for k in range(CDF_WINDOW):
+        picked = picked + xp.where(cnt == k, wrow[CDF_WINDOW + k], 0.0)
+    return picked.astype(xp.int32)
+
+
 def area_cdf_pick_fast(u, obj_id, sd, xp):
     """Exact table-driven area_cdf_pick (see build_area_cdf_tables)."""
     nb = sd.sss_nb

@@ -1,4 +1,4 @@
-"""Wavefront path integrator.
+"""Wavefront path integrator (lane-dense SoA form).
 
 The reference's CUDA megakernel (pathTracing, PathTrace.cu:905-1416) is a
 per-thread divergent loop: four material branches (diffuse / mirror /
@@ -7,6 +7,16 @@ replay stacks of (l_dir, indir_rate) pairs composited backward at path
 end (PathTrace.cu:1410-1415). On TPU that divergence becomes *masked
 lanes*: every bounce computes all branches for all lanes and selects, and
 the replay stacks become per-bounce scan outputs folded after the loop.
+
+Layout: every per-lane quantity is a dense [M] plane; 3-vectors are
+``vecmath.V3`` triples of planes. A [M, 3] float32 buffer on TPU pads 3
+lanes to 128 (42x) and every materialization boundary (while-loop carry,
+kernel I/O, gather output) pays that pad in copy traffic — the round-2
+HLO census measured 302 MB/iter of padded-layout copies moving 17 MB of
+payload (docs/PERF.md). Planes keep every materialized buffer dense;
+wide-row gather outputs ([M, 16] tri/mat/env rows) are transposed once
+to [16, M] so downstream reads are sublane rows, not padded-lane column
+slices.
 
 Faithfulness notes (all constants/factors from the reference):
 
@@ -34,13 +44,12 @@ scene contains a DIR_REFRACT material (static flag).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import rng, vecmath as vm
+from ..core.vecmath import V3, vdot, vwhere
 from ..scene import envmap
 from . import sampling
 from .sampling import PI
@@ -52,24 +61,22 @@ EMIT_BREAK_EPS = 1.4e-5   # PathTrace.cu:917
 EMIT_SKIP_EPS = 1.5e-4    # PathTrace.cu:1005
 
 
-def _any3(v, thresh, xp):
-    return (v > thresh).any(axis=-1)
-
-
 def _unit(v, xp):
+    """Legacy row-vector unit helper (preview integrator still uses it)."""
     return vm.normalize(v, xp, eps=1e-30)
 
 
+def _unit_p(v: V3, xp) -> V3:
+    return vm.vnormalize(v, xp, eps=1e-30)
+
+
 def _tri_rows(sd, idx):
-    """One wide-row gather for all per-triangle data (scene.TRI_* slices)."""
+    """Legacy row-major per-triangle gather (scene.TRI_* slices)."""
     return sd.tri_table[idx]
 
 
 def _mat_rows(sd, obj, xp):
-    """Per-object material rows via one-hot matmul (scene.MAT_* slices).
-
-    The object table is tiny (O rows), so a [M, O] @ [O, 16] product beats
-    a scattered gather by a wide margin on TPU."""
+    """Legacy row-major material fetch via one-hot matmul."""
     if xp is jnp:
         onehot = (obj[:, None] == xp.arange(sd.n_objects)[None, :]).astype(
             sd.mat_table.dtype
@@ -78,59 +85,110 @@ def _mat_rows(sd, obj, xp):
     return sd.mat_table[obj]
 
 
-def _refract_march(alive_ref, tri, miu_in, normal, ray_src, out_dir, sd, cfg,
-                   xp, nearest_fn, u_fn):
-    """DIR_REFRACT internal march (PathTrace.cu:1180-1234).
+def _tri_rows_t(sd, idx, xp):
+    """Transposed per-triangle rows [16, M]: one wide-row gather, one
+    relayout to dense sublane rows (column slices of the padded [M, 16]
+    gather output would each pay the 8x lane pad)."""
+    return xp.transpose(sd.tri_table[idx])
 
-    Returns (exit_dir, rate, escaped, last_idx, src). Only compiled when
-    sd.has_refract.
+
+def _mat_rows_t(sd, obj, xp):
+    """Transposed per-object material rows [16, M] via one-hot matmul.
+
+    The object table is tiny (O rows), so [16, O] @ [O, M] on the MXU
+    beats a scattered gather AND produces the lane-dense layout directly."""
+    if xp is jnp:
+        onehot = (obj[None, :] == xp.arange(sd.n_objects)[:, None]).astype(
+            sd.mat_table.dtype
+        )
+        return jnp.dot(sd.mat_table.T, onehot,
+                       preferred_element_type=jnp.float32)
+    return sd.mat_table[obj].T
+
+
+def _nearest_planes(nearest_fn, o: V3, d: V3, excl, xp, anyhit=None):
+    """Dispatch a nearest-hit query from SoA planes.
+
+    Intersectors that provide a feats-level entry (make_nearest sets
+    ``.from_feats``) get the transposed [16, B] feature matrix built
+    directly from the planes — no [B, 3] batch buffer ever materializes.
+    Everything else receives the legacy row-vector interface."""
+    ff = getattr(nearest_fn, "from_feats", None)
+    if ff is not None and xp is jnp:
+        # double-normalize to bit-match the legacy path (caller _unit
+        # with eps, kernel vm.normalize without): dead zero-direction
+        # lanes become NaN rows, which fail every slab/hit compare
+        d_u = vm.vnormalize(_unit_p(d, xp), xp)
+        w = vm.vcross(d_u, o)
+        ones = xp.ones_like(o.x)
+        zero = xp.zeros_like(o.x)
+        feats = xp.stack([d_u.x, d_u.y, d_u.z, w.x, w.y, w.z,
+                          o.x, o.y, o.z, ones,
+                          zero, zero, zero, zero, zero, zero])
+        return ff(feats, excl.astype(xp.int32)[None, :], anyhit=anyhit)
+    o_r = vm.v3stack(o, xp)
+    d_r = vm.v3stack(d, xp)
+    if anyhit is not None and getattr(nearest_fn, "supports_anyhit", False):
+        return nearest_fn(o_r, _unit(d_r, xp), excl, anyhit=anyhit)
+    return nearest_fn(o_r, _unit(d_r, xp), excl)
+
+
+def _refract_march(alive_ref, tri, miu, normal: V3, ray_src: V3, out_dir: V3,
+                   sd, cfg, xp, nearest_fn, u_fn):
+    """DIR_REFRACT internal march (PathTrace.cu:1180-1234), plane form.
+
+    Returns (exit_dir V3, rate V3, escaped, last_idx, src V3). Only
+    compiled when sd.has_refract.
     """
     from ..scene import scene as scene_mod
 
-    miu = miu_in[..., None]
     r0 = sampling.schlick_r0(miu)
-    fres_i = sampling.fresnel_entry(r0, xp.abs(vm.dot(normal, out_dir, xp)))
-    rdir, _ = sampling.refract_dir(-out_dir, normal, 1.0 / miu, xp)
-    rdir = xp.where(alive_ref[..., None], rdir, 0.0)  # mask non-refract lanes
-    rate = xp.broadcast_to(1.0 - fres_i, ray_src.shape) + xp.zeros_like(ray_src)
+    fres_i = sampling.fresnel_entry(r0, xp.abs(vdot(normal, out_dir)))
+    rdir, _ = sampling.refract_dir_p(-out_dir, normal, 1.0 / miu, xp)
+    rdir = vwhere(alive_ref, rdir, 0.0, xp)  # mask non-refract lanes
+    one_m = 1.0 - fres_i
+    rate = V3(one_m + xp.zeros_like(one_m), one_m + xp.zeros_like(one_m),
+              one_m + xp.zeros_like(one_m))
     src = ray_src
     exclude = tri
     escaped = xp.zeros(tri.shape, bool)
     exited = xp.zeros(tri.shape, bool)
     for i in range(cfg.max_refract_bounces):
         live = alive_ref & ~exited & ~escaped
-        hit, idx, t = nearest_fn(src, _unit(rdir, xp), xp.where(live, exclude, -2))
+        hit, idx, t = _nearest_planes(
+            nearest_fn, src, rdir, xp.where(live, exclude, -2), xp)
         escaped = escaped | (live & ~hit)
         step_ok = live & hit
-        hp = src + _unit(rdir, xp) * t[..., None]
-        irow = _tri_rows(sd, idx)
-        n_i = irow[:, scene_mod.TRI_NORM]
-        new_rdir, full_reflex = sampling.refract_dir(_unit(rdir, xp), n_i, miu, xp)
-        rate_row = _mat_rows(sd, irow[:, scene_mod.TRI_OBJ].astype(xp.int32), xp)
-        absorb = rate_row[:, scene_mod.MAT_REFRACT_RATE] ** t[..., None]
-        rate = xp.where(step_ok[..., None], rate * absorb, rate)
-        src = xp.where(step_ok[..., None], hp, src)
+        rdir_u = _unit_p(rdir, xp)
+        hp = src + rdir_u * t
+        irow = _tri_rows_t(sd, idx, xp)
+        n_i = vm.v3rows(irow, 9)                       # TRI_NORM
+        new_rdir, full_reflex = sampling.refract_dir_p(rdir_u, n_i, miu, xp)
+        rate_row = _mat_rows_t(sd, irow[12].astype(xp.int32), xp)
+        rr8 = vm.v3rows(rate_row, 8)                   # MAT_REFRACT_RATE
+        absorb = V3(rr8.x ** t, rr8.y ** t, rr8.z ** t)
+        rate = vwhere(step_ok, rate * absorb, rate, xp)
+        src = vwhere(step_ok, hp, src, xp)
         exclude = xp.where(step_ok, idx.astype(exclude.dtype), exclude)
-        fres_o = sampling.fresnel_exit(r0, xp.abs(vm.dot(new_rdir, n_i, xp)))
+        fres_o = sampling.fresnel_exit(r0, xp.abs(vdot(new_rdir, n_i)))
         u = u_fn(S.REFRACT_BASE + i)
         reflect_pick = full_reflex | (u < cfg.internal_reflect_rate)
-        reflected = vm.reflect(new_rdir, n_i, xp)
+        reflected = vm.vreflect(new_rdir, n_i)
         # exit via refraction: x1.25 compensates the 0.8 continue pdf
-        rate = xp.where(
-            (step_ok & ~reflect_pick)[..., None], rate * (1.0 - fres_o) * 1.25, rate
-        )
+        rate = vwhere(step_ok & ~reflect_pick,
+                      rate * (1.0 - fres_o) * 1.25, rate, xp)
         # internal (non-total) reflection: x fresnel_o x5 (PathTrace.cu:1220)
-        rate = xp.where(
-            (step_ok & reflect_pick & ~full_reflex)[..., None], rate * fres_o * 5.0, rate
-        )
-        rdir = xp.where(step_ok[..., None],
-                        xp.where(reflect_pick[..., None], reflected, new_rdir), rdir)
+        rate = vwhere(step_ok & reflect_pick & ~full_reflex,
+                      rate * fres_o * 5.0, rate, xp)
+        rdir = vwhere(step_ok,
+                      vwhere(reflect_pick, reflected, new_rdir, xp), rdir, xp)
         exited = exited | (step_ok & ~reflect_pick)
     return rdir, rate, escaped, exclude, src
 
 
 def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
-                 ldir_list, l_ok_list, lights, sky, sky_c, hdir, cdir_u,
+                 ldir_list, l_ok_list, l_norms, l_emises, l_areas,
+                 sky, sky_c, hdir, cdir_u,
                  nee_norm, exit_norm, bss, fr, fr_alb, emissive, c_obj_em,
                  cont_src, ref_rate, r0_sss, total_area, k, u_rr, c_t,
                  sss_entry, sss_exit, is_mirror, is_dirref, alive,
@@ -140,52 +198,46 @@ def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
     scales, Russian roulette acceptance, continuation rates, break
     values (bounce_step's tail — PathTrace.cu:941-1416 epilogue math).
 
-    Pure function of arrays so the SAME code runs as the XLA tail and
-    inside the Pallas shade-resolve kernel (ops/pallas/shade_resolve.py)
-    — one implementation, two lowerings, no parity surface. All masks
-    and scalars are [M, 1]-shaped (Mosaic-friendly 2D).
-
-    ``ldir_list``/``l_ok_list``: per-light [M, 3] directions and [M, 1]
-    accept masks (visibility already resolved by the caller).
-    ``lights``: packed [E, 8] rows = (l_norm.xyz, l_emis.xyz, area, 0).
-    Returns (dir_out, rate_out, new_src, accept [M,1], killed [M,1]).
+    Plane form: every 3-vector is a V3 of [M] planes, every mask/scalar a
+    flat [M] plane, so the whole tail is one elementwise dataflow XLA can
+    fuse without a single padded-layout buffer. ``l_norms``/``l_emises``
+    are per-light V3 of scalars, ``l_areas`` scalars.
+    Returns (dir_out V3, rate_out V3, new_src V3, accept, killed).
     """
-    m3 = sky.shape
-    l_dir = xp.zeros(m3, sky.dtype)
+    zero = xp.zeros_like(u_rr)
+    l_dir = V3(zero, zero, zero)
     for i in range(e_cnt):
         ldir = ldir_list[i]
         ok = l_ok_list[i]
-        l_norm_i = lights[i : i + 1, 0:3]
-        l_emis_i = lights[i : i + 1, 3:6]
-        d2 = vm.dot(ldir, ldir, xp)
+        d2 = vdot(ldir, ldir)
         geom = xp.abs(
-            vm.dot(nee_norm, ldir, xp) * vm.dot(l_norm_i, ldir, xp)
-        ) / d2 / d2 * lights[i : i + 1, 6:7]
-        f_entry = xp.where(sss_entry, fr_alb, fr)
-        contrib = l_emis_i * f_entry * geom
+            vdot(nee_norm, ldir) * vdot(l_norms[i], ldir)
+        ) / d2 / d2 * l_areas[i]
+        f_entry = vwhere(sss_entry, fr_alb, fr, xp)
+        contrib = l_emises[i] * f_entry * geom
         if has_sss:
             fres_o = sampling.fresnel_exit(
-                r0_sss, xp.abs(vm.dot(_unit(ldir, xp), exit_norm, xp))
+                r0_sss, xp.abs(vdot(_unit_p(ldir, xp), exit_norm))
             )
             contrib_exit = (
-                l_emis_i * fres_o * bss * geom / PI * total_area
+                l_emises[i] * fres_o * bss * geom / PI * total_area
             )
-            contrib = xp.where(sss_exit, contrib_exit, contrib)
-        l_dir = l_dir + xp.where(ok, contrib, 0.0)
+            contrib = vwhere(sss_exit, contrib_exit, contrib, xp)
+        l_dir = l_dir + vwhere(ok, contrib, 0.0, xp)
 
     # ---- NEE environment (cu:968-980 / 1111-1130) ----
-    cos_h = xp.abs(vm.dot(hdir, nee_norm, xp))
-    env_entry = (sky * xp.where(sss_entry, fr_alb, fr)
+    cos_h = xp.abs(vdot(hdir, nee_norm))
+    env_entry = (sky * vwhere(sss_entry, fr_alb, fr, xp)
                  * cos_h * (2.0 * PI))
     if has_sss:
         fres_oh = sampling.fresnel_exit(
-            r0_sss, xp.abs(vm.dot(hdir, exit_norm, xp))
+            r0_sss, xp.abs(vdot(hdir, exit_norm))
         )
         env_exit = sky * fres_oh * bss * cos_h * 2.0  # cu:1130
-        env_c = xp.where(sss_exit, env_exit, env_entry)
+        env_c = vwhere(sss_exit, env_exit, env_entry, xp)
     else:
         env_c = env_entry
-    l_dir = l_dir + xp.where(needs_nee & ~h_hit, env_c, 0.0)
+    l_dir = l_dir + vwhere(needs_nee & ~h_hit, env_c, 0.0, xp)
 
     # ---- branch scale on l_dir (cu:986, 1133, 1322) ----
     scale = xp.where(
@@ -193,15 +245,16 @@ def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
         xp.where(sss_exit, k / (1.0 - sss_rate), k),
     )
     l_dir = l_dir * scale
-    l_dir = xp.where(needs_nee, l_dir, 0.0)
+    l_dir = vwhere(needs_nee, l_dir, 0.0, xp)
 
     # ---- Russian roulette + continuation acceptance ----
     rr_ok = u_rr < rr_rate
     # strict (em < eps).all(), matching the oracle / reference (cu:1005
     # region; cpuref lines 141/188/273): a channel exactly AT the
     # threshold rejects continuation. max-form is boolean-identical
-    # (incl. NaN propagation) and avoids a Mosaic i1 lane-reduce.
-    c_nonemit = xp.max(c_obj_em, axis=-1, keepdims=True) < EMIT_SKIP_EPS
+    # (incl. NaN propagation).
+    c_nonemit = xp.maximum(xp.maximum(c_obj_em.x, c_obj_em.y),
+                           c_obj_em.z) < EMIT_SKIP_EPS
     # (mirror|dirref) | c_nonemit ≡ where(mirror|dirref, True, c_nonemit)
     accept = alive & rr_ok & c_hit & ((is_mirror | is_dirref) | c_nonemit)
     killed_out = killed
@@ -209,84 +262,82 @@ def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
         accept = accept & ~(is_dirref & ref_escaped)
         killed_out = killed | (alive & is_dirref & ref_escaped)
 
-    cos_c = xp.abs(vm.dot(cdir_u, nee_norm, xp))
+    cos_c = xp.abs(vdot(cdir_u, nee_norm))
     rate_diffuse = fr * cos_c / rr_rate * k  # cu:1344 (+ *k at push, 1352)
     rate_entry = fr * cos_c / rr_rate * (k / sss_rate)  # cu:1008, 1016
     if has_sss:
         fres_oc = sampling.fresnel_exit(
-            r0_sss, xp.abs(vm.dot(cdir_u, exit_norm, xp)))
+            r0_sss, xp.abs(vdot(cdir_u, exit_norm)))
         rate_exit = (
-            bss * fres_oc * xp.abs(vm.dot(cdir_u, exit_norm, xp))
+            bss * fres_oc * xp.abs(vdot(cdir_u, exit_norm))
             * total_area * 2.0 / rr_rate * (k / (1.0 - sss_rate))
         )  # cu:1160, 1166
     else:
-        rate_exit = xp.zeros(m3, sky.dtype)
+        rate_exit = V3(zero, zero, zero)
     rate_mirror = fr * (k / (rr_rate / PI))  # cu:1391
-    rate = xp.where(sss_entry, rate_entry, rate_diffuse)
+    rate = vwhere(sss_entry, rate_entry, rate_diffuse, xp)
     if has_sss:
-        rate = xp.where(sss_exit, rate_exit, rate)
-    rate = xp.where(is_mirror, rate_mirror, rate)
+        rate = vwhere(sss_exit, rate_exit, rate, xp)
+    rate = vwhere(is_mirror, rate_mirror, rate, xp)
     if has_refract:
-        rate = xp.where(is_dirref, ref_rate * (k / rr_rate), rate)
+        rate = vwhere(is_dirref, ref_rate * (k / rr_rate), rate, xp)
 
     # ---- break values (cu:1396, 1254) ----
     mirror_sky = sky_c * rate_mirror
     dirref_sky = sky_c * ref_rate * (k / rr_rate)
     break_val = l_dir  # diffuse / entry / exit keep their NEE sum
-    zeros3 = xp.zeros(m3, sky.dtype)
-    break_val = xp.where(
+    zeros3 = V3(zero, zero, zero)
+    break_val = vwhere(
         is_mirror & rr_ok & ~c_hit, mirror_sky,
-        xp.where(is_mirror, zeros3, break_val),
+        vwhere(is_mirror, zeros3, break_val, xp), xp,
     )
     if has_refract:
-        break_val = xp.where(
+        break_val = vwhere(
             is_dirref & rr_ok & ~c_hit & ~ref_escaped, dirref_sky,
-            xp.where(is_dirref, zeros3, break_val),
+            vwhere(is_dirref, zeros3, break_val, xp), xp,
         )
     else:
-        break_val = xp.where(is_dirref, zeros3, break_val)
-    break_val = xp.where(emit_break, emissive, break_val)
+        break_val = vwhere(is_dirref, zeros3, break_val, xp)
+    break_val = vwhere(emit_break, emissive, break_val, xp)
 
     # ---- emit (dir_b, rate_b) (cu:1410-1415 stack entries) ----
-    dir_out = xp.where(
+    dir_out = vwhere(
         accept,
-        xp.where(is_mirror | is_dirref, zeros3, l_dir),
-        xp.where(active, break_val, 0.0),
+        vwhere(is_mirror | is_dirref, zeros3, l_dir, xp),
+        vwhere(active, break_val, 0.0, xp), xp,
     )
-    rate_out = xp.where(
+    rate_out = vwhere(
         accept, rate,
-        xp.where(active, 0.0, 1.0),
+        vwhere(active, 0.0, 1.0, xp), xp,
     )
     new_src = cont_src + cdir_u * c_t
     return dir_out, rate_out, new_src, accept, killed_out
 
 
 def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
-                cont_override=None, rows=None, want_rows=False):
-    """One masked megakernel bounce. Returns (state, (dir_b, rate_b)).
+                rows=None, want_rows=False):
+    """One masked megakernel bounce on SoA planes.
 
-    ``cont_override=(mask, src, dir)`` injects extra rays into otherwise-
-    idle lanes' continuation slots (exclusion -1) — the pool engine rides
-    its respawn primary rays through the same batched trace. When given,
-    the raw continuation trace (hit, idx, t) is returned as a third
-    element.
+    ``state`` = (active [M], ray_src V3, out_dir V3, hit_idx [M] i32,
+    killed [M]). Returns (state, (dir_b V3, rate_b V3)).
 
-    ``rows=(trow, mrow)`` supplies the per-lane triangle/material rows
-    for ``where(active, hit_idx, 0)`` precomputed (the pool engine
-    carries them across iterations — re-gathering per bounce costs two
-    extra launches per while-loop iteration on the axon backend).
-    ``want_rows=True`` appends ``(crow, c_mrow)`` — the continuation
-    hit's rows — as the final returned element so the caller can build
-    the next iteration's carry without another gather."""
+    ``rows=(trow_t, mrow_t)`` supplies the TRANSPOSED [16, M] per-lane
+    triangle/material rows for ``where(active, hit_idx, 0)`` precomputed
+    (the pool engine carries them across iterations — re-gathering per
+    bounce costs two extra launches per while-loop iteration on the axon
+    backend). ``want_rows=True`` appends ``(crow_t, c_mrow_t)`` — the
+    continuation hit's rows — as a final returned element so the caller
+    can build the next iteration's carry without another gather."""
     active, ray_src, out_dir, hit_idx, killed = state
-    m = ray_src.shape[0]
+    m = ray_src.x.shape[0]
     e_cnt = sd.n_emit
 
-    # ---- all RNG draws for this bounce in ONE [M, S] computation ----
+    # ---- all RNG draws for this bounce in ONE [S, M] computation ----
     # The (pixel, sample) base hash is site-independent, so batching the
     # per-site mixes over a broadcast site axis yields bit-identical
     # streams while collapsing ~12 separate elementwise launch chains
-    # (at ~30us each on the axon runtime) into one.
+    # (at ~30us each on the axon runtime) into one. Site axis on
+    # sublanes so per-site reads are dense [M] rows.
     base_sites = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
                   S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
                   S.RR]
@@ -297,38 +348,37 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)],
         np.uint32,
     )
-    pid2 = pixel_id[:, None] if getattr(pixel_id, "ndim", 0) == 1 else pixel_id
-    sid2 = sample_id[:, None] if getattr(sample_id, "ndim", 0) == 1 else sample_id
-    b2 = b[:, None] if getattr(b, "ndim", 0) == 1 else b
-    us = rng.uniform(xp, pid2, sid2, b2 + 1, xp.asarray(site_vals)[None, :],
-                     cfg.seed)
+    def _row(a):  # [M] -> [1, M]; scalars broadcast as-is
+        return a[None, :] if getattr(a, "ndim", 0) == 1 else a
 
-    def u(site, pid=pixel_id):
+    us = rng.uniform(xp, _row(pixel_id), _row(sample_id), _row(b) + 1,
+                     xp.asarray(site_vals)[:, None], cfg.seed)
+
+    def u(site):
         if site in col:
-            return us[:, col[site]]
-        return rng.uniform(xp, pid, sample_id, b + 1, site, cfg.seed)
+            return us[col[site]]
+        return rng.uniform(xp, pixel_id, sample_id, b + 1, site, cfg.seed)
 
-    from ..scene import scene as scene_mod
-
-    TRI, MAT = scene_mod, scene_mod
     tri = xp.where(active, hit_idx, 0)
     if rows is None:
-        trow = _tri_rows(sd, tri)
-        mrow = _mat_rows(sd, trow[:, TRI.TRI_OBJ].astype(xp.int32), xp)
+        trow_t = _tri_rows_t(sd, tri, xp)
+        mrow_t = _mat_rows_t(sd, trow_t[12].astype(xp.int32), xp)
     else:
-        trow, mrow = rows
-    normal = trow[:, TRI.TRI_NORM]
-    obj = trow[:, TRI.TRI_OBJ].astype(xp.int32)
-    emissive = mrow[:, MAT.MAT_EMISSIVE]
-    brdf = mrow[:, MAT.MAT_BRDF]
-    refract_mode = mrow[:, MAT.MAT_REFRACT_MODE].astype(xp.int32)
-    reflex_mode = mrow[:, MAT.MAT_REFLEX].astype(xp.int32)
+        trow_t, mrow_t = rows
+    normal = vm.v3rows(trow_t, 9)                   # TRI_NORM
+    obj = trow_t[12].astype(xp.int32)               # TRI_OBJ
+    emissive = vm.v3rows(mrow_t, 0)                 # MAT_EMISSIVE
+    brdf = vm.v3rows(mrow_t, 3)                     # MAT_BRDF
+    refract_mode = mrow_t[7].astype(xp.int32)       # MAT_REFRACT_MODE
+    reflex_mode = mrow_t[6].astype(xp.int32)        # MAT_REFLEX
 
-    emit_break = active & _any3(emissive, EMIT_BREAK_EPS, xp)
+    emit_break = active & ((emissive.x > EMIT_BREAK_EPS)
+                           | (emissive.y > EMIT_BREAK_EPS)
+                           | (emissive.z > EMIT_BREAK_EPS))
     alive = active & ~emit_break
 
     # ---- branch selection (PathTrace.cu:923-925, 930-931) ----
-    k = xp.where(refract_mode != 0, 2.0, 1.0)[..., None]
+    k = xp.where(refract_mode != 0, 2.0, 1.0)
     u_sel = u(S.SELECT_REFRACT)
     take_refract = alive & (u_sel < 0.5) & (refract_mode != 0)
     is_sss = take_refract & (refract_mode == 1)
@@ -340,7 +390,7 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     is_mirror = alive & ~take_refract & (reflex_mode == 1)
 
     fr = brdf * (1.0 / PI)
-    fr_alb = mrow[:, MAT.MAT_REFRACT_ALBEDO] * (1.0 / PI)
+    fr_alb = vm.v3rows(mrow_t, 11) * (1.0 / PI)     # MAT_REFRACT_ALBEDO
 
     # ---- SSS exit point (PathTrace.cu:1029-1070) ----
     if sd.has_sss:
@@ -350,221 +400,180 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         if sd.sss_nb:
             # exact table-driven pick: 2 wide gathers instead of ~16
             # sequential scalar ones (see sampling.build_area_cdf_tables)
-            exit_tri = sampling.area_cdf_pick_fast(u(S.AREA_CDF), obj, sd, xp)
+            exit_tri = sampling.area_cdf_pick_fast_p(u(S.AREA_CDF), obj, sd, xp)
         else:
             exit_tri = sampling.area_cdf_pick(
                 u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
                 sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
             )
         exit_tri = xp.where(sss_exit, exit_tri, 0)
-        erow = _tri_rows(sd, exit_tri)
-        exit_point = sampling.triangle_point(
-            erow[:, TRI.TRI_P1], erow[:, TRI.TRI_P2], erow[:, TRI.TRI_P3],
+        erow_t = _tri_rows_t(sd, exit_tri, xp)
+        exit_point = sampling.triangle_point_p(
+            vm.v3rows(erow_t, 0), vm.v3rows(erow_t, 3), vm.v3rows(erow_t, 6),
             u(S.EXIT_U), u(S.EXIT_V), xp,
         )
-        exit_norm = erow[:, TRI.TRI_NORM]
-        exit_obj = erow[:, TRI.TRI_OBJ].astype(xp.int32)
-        emrow = _mat_rows(sd, exit_obj, xp)
+        exit_norm = vm.v3rows(erow_t, 9)
+        exit_obj = erow_t[12].astype(xp.int32)
+        emrow_t = _mat_rows_t(sd, exit_obj, xp)
         inner_dir = exit_point - ray_src
-        inner_dist = vm.norm(inner_dir, xp)
-        sigma = emrow[:, MAT.MAT_REFRACT_RATE]
-        r0_sss = sampling.schlick_r0(mrow[:, MAT.MAT_REFRACT_INDEX])[..., None]
+        inner_dist = vm.vnorm(inner_dir, xp)
+        sigma = vm.v3rows(emrow_t, 8)               # MAT_REFRACT_RATE
+        r0_sss = sampling.schlick_r0(mrow_t[14])    # MAT_REFRACT_INDEX
         fres_i = sampling.fresnel_entry(
-            r0_sss, xp.abs(vm.dot(normal, out_dir, xp))
+            r0_sss, xp.abs(vdot(normal, out_dir))
         )
-        bss = sampling.bssrdf(xp.maximum(inner_dist, 1e-12), sigma, xp) * fres_i
-        total_area = sd.obj_total_area[exit_obj][..., None]
+        bss = sampling.bssrdf_p(xp.maximum(inner_dist, 1e-12), sigma, xp) \
+            * fres_i
+        total_area = sd.obj_total_area[exit_obj]
     else:
         exit_tri = xp.zeros_like(tri)
         exit_point = ray_src
         exit_norm = normal
         inner_dir = out_dir
-        bss = xp.zeros_like(ray_src)
-        r0_sss = xp.zeros((m, 1), ray_src.dtype)
-        total_area = xp.ones((m, 1), ray_src.dtype)
+        bss = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
+                 xp.zeros_like(ray_src.x))
+        r0_sss = xp.zeros((m,), ray_src.x.dtype)
+        total_area = xp.ones((m,), ray_src.x.dtype)
 
     # NEE origin/normal/exclusion: exit lanes shade from the exit point
-    nee_src = xp.where(sss_exit[..., None], exit_point, ray_src)
-    nee_norm = xp.where(sss_exit[..., None], exit_norm, normal)
+    nee_src = vwhere(sss_exit, exit_point, ray_src, xp)
+    nee_norm = vwhere(sss_exit, exit_norm, normal, xp)
     nee_excl = xp.where(sss_exit, exit_tri.astype(tri.dtype), tri)
 
     # ---- direct-refraction march (static gate) ----
     if sd.has_refract:
         ref_dir, ref_rate, ref_escaped, ref_last, ref_src = _refract_march(
-            is_dirref, tri, mrow[:, MAT.MAT_REFRACT_INDEX], normal, ray_src,
+            is_dirref, tri, mrow_t[14], normal, ray_src,
             out_dir, sd, cfg, xp, nearest_fn, u,
         )
     else:
         ref_dir = out_dir
-        ref_rate = xp.zeros_like(ray_src)
+        ref_rate = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
+                      xp.zeros_like(ray_src.x))
         ref_escaped = xp.zeros(m, bool)
         ref_last = tri
         ref_src = ray_src
 
     # ---- build the combined shadow/continuation ray batch ----
     # HDR NEE direction (PathTrace.cu:968-974 / 1111-1117)
-    hdir_raw = sampling.uniform_sphere(u(S.HDR_COS), u(S.HDR_PHI), xp)
-    hdir_entry = sampling.fold_same_hemisphere(hdir_raw, normal, out_dir, xp)
-    hdir_exit = sampling.fold_same_hemisphere(hdir_raw, exit_norm, inner_dir, xp)
-    hdir = xp.where(sss_exit[..., None], hdir_exit, hdir_entry)
+    hdir_raw = sampling.uniform_sphere_p(u(S.HDR_COS), u(S.HDR_PHI), xp)
+    hdir_entry = sampling.fold_same_hemisphere_p(hdir_raw, normal, out_dir, xp)
+    hdir_exit = sampling.fold_same_hemisphere_p(hdir_raw, exit_norm, inner_dir,
+                                                xp)
+    hdir = vwhere(sss_exit, hdir_exit, hdir_entry, xp)
 
     # continuation direction
-    cdir_raw = sampling.uniform_sphere(u(S.CONT_COS), u(S.CONT_PHI), xp)
-    cdir_entry = sampling.fold_same_hemisphere(cdir_raw, normal, out_dir, xp)
-    cdir_exit = sampling.fold_opposite_hemisphere(cdir_raw, exit_norm, inner_dir, xp)
-    cdir_mirror = normal * (2.0 * vm.dot(out_dir, normal, xp)) - out_dir  # cu:1378
-    cdir = xp.where(sss_exit[..., None], cdir_exit, cdir_entry)
-    cdir = xp.where(is_mirror[..., None], cdir_mirror, cdir)
+    cdir_raw = sampling.uniform_sphere_p(u(S.CONT_COS), u(S.CONT_PHI), xp)
+    cdir_entry = sampling.fold_same_hemisphere_p(cdir_raw, normal, out_dir, xp)
+    cdir_exit = sampling.fold_opposite_hemisphere_p(cdir_raw, exit_norm,
+                                                    inner_dir, xp)
+    cdir_mirror = normal * (2.0 * vdot(out_dir, normal)) - out_dir  # cu:1378
+    cdir = vwhere(sss_exit, cdir_exit, cdir_entry, xp)
+    cdir = vwhere(is_mirror, cdir_mirror, cdir, xp)
     if sd.has_refract:
-        cdir = xp.where(is_dirref[..., None], ref_dir, cdir)
-    cont_src = xp.where(is_dirref[..., None], ref_src, nee_src)
+        cdir = vwhere(is_dirref, ref_dir, cdir, xp)
+    cont_src = vwhere(is_dirref, ref_src, nee_src, xp)
     cont_excl = xp.where(is_dirref, ref_last.astype(tri.dtype), nee_excl)
-    cont_mask = alive
-    if cont_override is not None:
-        ov_mask, ov_src, ov_dir = cont_override
-        ov3 = ov_mask[..., None]
-        cdir = xp.where(ov3, ov_dir, cdir)
-        cont_src = xp.where(ov3, ov_src, cont_src)
-        cont_excl = xp.where(ov_mask, -1, cont_excl)
-        cont_mask = alive | ov_mask
 
     needs_nee = is_diffuse | sss_entry | sss_exit
-    if e_cnt > 0:
-        le_ids = sd.emit_idx  # [E]
+    ldirs = []
+    l_gates = []
+    dot_on = vdot(out_dir, normal)
+    l_norms, l_emises, l_areas = [], [], []
+    for i in range(e_cnt):
         # hoisted at assemble time (scene.py): gathering per bounce
         # re-staged these tables every while-loop iteration
-        lp1, lp2, lp3 = sd.light_p1, sd.light_p2, sd.light_p3
-        l_norm = sd.light_norm
-        l_emis = sd.light_emis
-        l_area = sd.light_area
-        lu = us[:, 10 : 10 + e_cnt]          # sites LIGHT_BASE + 2i
-        lv = us[:, 10 + e_cnt : 10 + 2 * e_cnt]  # sites LIGHT_BASE + 2i + 1
-        lpoint = sampling.triangle_point(
-            lp1[None], lp2[None], lp3[None], lu, lv, xp
-        )  # [M, E, 3]
-        ldir = lpoint - nee_src[:, None, :]
-        # entry-type hemisphere gate (PathTrace.cu:950-952); exit has none
-        same_hemi = (
-            vm.dot_s(ldir, nee_norm[:, None, :], xp)
-            * vm.dot_s(out_dir, normal, xp)[:, None] >= 0
+        lp = lambda tbl: V3(tbl[i, 0], tbl[i, 1], tbl[i, 2])
+        lpoint = sampling.triangle_point_p(
+            lp(sd.light_p1), lp(sd.light_p2), lp(sd.light_p3),
+            us[10 + i], us[10 + e_cnt + i], xp,
         )
-        l_gate = needs_nee[:, None] & (same_hemi | sss_exit[:, None])
-    else:
-        ldir = xp.zeros((m, 0, 3), ray_src.dtype)
-        l_gate = xp.zeros((m, 0), bool)
+        ldir = lpoint - nee_src
+        # entry-type hemisphere gate (PathTrace.cu:950-952); exit has none
+        same_hemi = vdot(ldir, nee_norm) * dot_on >= 0
+        ldirs.append(ldir)
+        l_gates.append(needs_nee & (same_hemi | sss_exit))
+        l_norms.append(lp(sd.light_norm))
+        l_emises.append(lp(sd.light_emis))
+        l_areas.append(sd.light_area[i])
 
     # one nearest-hit batch: [M*E light] + [M hdr] + [M continuation].
     # Dead/masked lanes get zero directions: every intersector treats a
     # zero-direction ray as a miss, so dead lanes cost no traversal work
     # (their stale origins are o + d*INF garbage otherwise).
-    nee_gate3 = needs_nee[..., None]
-    alive3 = cont_mask[..., None]
-    batch_o = xp.concatenate([
-        xp.broadcast_to(
-            xp.where(nee_gate3, nee_src, 0.0)[:, None, :], (m, e_cnt, 3)
-        ).reshape(-1, 3),
-        xp.where(nee_gate3, nee_src, 0.0),
-        xp.where(alive3, cont_src, 0.0),
-    ])
-    batch_d = xp.concatenate([
-        xp.where(nee_gate3[:, None, :], ldir, 0.0).reshape(-1, 3),
-        xp.where(nee_gate3, hdir, 0.0),
-        xp.where(alive3, cdir, 0.0),
-    ])
-    batch_e = xp.concatenate([
-        xp.broadcast_to(nee_excl[:, None], (m, e_cnt)).reshape(-1),
-        nee_excl, cont_excl,
-    ])
+    def cat(parts):
+        return xp.concatenate(parts)
+
+    def vcat(parts):
+        return V3(cat([p.x for p in parts]), cat([p.y for p in parts]),
+                  cat([p.z for p in parts]))
+
+    nee_o = vwhere(needs_nee, nee_src, 0.0, xp)
+    batch_o = vcat([nee_o] * (e_cnt + 1) + [vwhere(alive, cont_src, 0.0, xp)])
+    batch_d = vcat([vwhere(needs_nee, ld, 0.0, xp) for ld in ldirs]
+                   + [vwhere(needs_nee, hdir, 0.0, xp),
+                      vwhere(alive, cdir, 0.0, xp)])
+    batch_e = cat([nee_excl] * (e_cnt + 1) + [cont_excl])
     # the HDR-visibility segment [m*e_cnt, m*e_cnt+m) is consumed as a
-    # hit boolean only (h_hit below) — intersectors that understand the
-    # hint run it with a cheaper any-hit epilogue
-    import inspect
+    # hit boolean only (h_hit below) — intersectors that advertise the
+    # capability run it with a cheaper any-hit epilogue
+    bhit, bidx, bt = _nearest_planes(
+        nearest_fn, batch_o, batch_d, batch_e, xp,
+        anyhit=(m * e_cnt, m * e_cnt + m))
+    l_hits = [bhit[i * m:(i + 1) * m] for i in range(e_cnt)]
+    l_idxs = [bidx[i * m:(i + 1) * m] for i in range(e_cnt)]
+    h_hit = bhit[m * e_cnt: m * e_cnt + m]
+    c_hit = bhit[m * e_cnt + m:]
+    c_idx = bidx[m * e_cnt + m:]
+    c_t = bt[m * e_cnt + m:]
 
-    try:
-        _params = inspect.signature(nearest_fn).parameters
-        _takes_anyhit = ("anyhit" in _params or any(
-            p.kind is inspect.Parameter.VAR_KEYWORD for p in _params.values()
-        ))
-    except (TypeError, ValueError):  # builtins / partials without sigs
-        _takes_anyhit = False
-    if _takes_anyhit:
-        bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e,
-                                    anyhit=(m * e_cnt, m * e_cnt + m))
-    else:
-        bhit, bidx, bt = nearest_fn(batch_o, _unit(batch_d, xp), batch_e)
-    l_hit = bhit[: m * e_cnt].reshape(m, e_cnt)
-    l_idx = bidx[: m * e_cnt].reshape(m, e_cnt)
-    h_hit = bhit[m * e_cnt : m * e_cnt + m]
-    c_hit = bhit[m * e_cnt + m :]
-    c_idx = bidx[m * e_cnt + m :]
-    c_t = bt[m * e_cnt + m :]
-
-    # ---- post-trace resolve: one merged env fetch, then the shared
-    # resolve_tail (Pallas kernel on TPU, plain XLA/NumPy otherwise) ----
-    cdir_u = _unit(cdir, xp)
-    env2 = envmap.sample_env_sd(
-        sd, xp.concatenate([_unit(hdir, xp), cdir_u]), xp, clamp=cfg.hdr_clamp
+    # ---- post-trace resolve: one merged env fetch, then the plane-form
+    # resolve_tail (a single fused elementwise dataflow) ----
+    cdir_u = _unit_p(cdir, xp)
+    hdir_u = _unit_p(hdir, xp)
+    env2 = envmap.sample_env_sd_p(
+        sd,
+        V3(cat([hdir_u.x, cdir_u.x]), cat([hdir_u.y, cdir_u.y]),
+           cat([hdir_u.z, cdir_u.z])),
+        xp, clamp=cfg.hdr_clamp,
     )
-    sky = env2[:m]
-    sky_c = env2[m:]
+    sky = V3(env2.x[:m], env2.y[:m], env2.z[:m])
+    sky_c = V3(env2.x[m:], env2.y[m:], env2.z[m:])
 
     u_rr = u(S.RR)
-    crow = _tri_rows(sd, xp.where(c_hit, c_idx, 0))
-    c_mrow = _mat_rows(sd, crow[:, TRI.TRI_OBJ].astype(xp.int32), xp)
-    c_obj_em = c_mrow[:, MAT.MAT_EMISSIVE]
+    crow_t = _tri_rows_t(sd, xp.where(c_hit, c_idx, 0), xp)
+    c_mrow_t = _mat_rows_t(sd, crow_t[12].astype(xp.int32), xp)
+    c_obj_em = vm.v3rows(c_mrow_t, 0)
 
     # per-light visibility: exact-index test against the nearest hit
     # (PathTrace.cu:959-961 semantics)
-    if e_cnt > 0:
-        l_ok = l_gate & l_hit & (l_idx == le_ids[None, :])     # [M, E]
-        lights = xp.concatenate([
-            l_norm, l_emis, l_area[:, None],
-            xp.zeros((e_cnt, 1), ray_src.dtype),
-        ], axis=1)                                             # [E, 8]
-    else:
-        l_ok = xp.zeros((m, 0), bool)
-        lights = xp.zeros((0, 8), ray_src.dtype)
-    ldir_list = [ldir[:, i, :] for i in range(e_cnt)]
-    l_ok_list = [l_ok[:, i : i + 1] for i in range(e_cnt)]
+    l_oks = [
+        l_gates[i] & l_hits[i] & (l_idxs[i] == sd.emit_idx[i])
+        for i in range(e_cnt)
+    ]
 
-    c2 = lambda a: a[:, None]  # [M] -> [M, 1] (resolve_tail is 2D-shaped)
-    tail_args = (
-        e_cnt, sd.has_sss, sd.has_refract, cfg.rr_rate, cfg.sss_rate,
-        ldir_list, l_ok_list, lights, sky, sky_c, hdir, cdir_u,
+    dir_out, rate_out, new_src, accept, killed = resolve_tail(
+        xp, e_cnt, sd.has_sss, sd.has_refract, cfg.rr_rate, cfg.sss_rate,
+        ldirs, l_oks, l_norms, l_emises, l_areas, sky, sky_c, hdir, cdir_u,
         nee_norm, exit_norm, bss, fr, fr_alb, emissive, c_obj_em,
-        cont_src, ref_rate, r0_sss, total_area, k, c2(u_rr), c2(c_t),
-        c2(sss_entry), c2(sss_exit), c2(is_mirror), c2(is_dirref),
-        c2(alive), c2(active), c2(emit_break), c2(killed), c2(needs_nee),
-        c2(c_hit), c2(h_hit), c2(ref_escaped),
+        cont_src, ref_rate, r0_sss, total_area, k, u_rr, c_t,
+        sss_entry, sss_exit, is_mirror, is_dirref,
+        alive, active, emit_break, killed, needs_nee,
+        c_hit, h_hit, ref_escaped,
     )
-    if xp is jnp and getattr(cfg, "pallas_shading", True):
-        from ..ops.pallas import shade_resolve
-
-        dir_out, rate_out, new_src, accept2, killed2 = (
-            shade_resolve.resolve_tail_jnp(*tail_args)
-        )
-    else:
-        dir_out, rate_out, new_src, accept2, killed2 = resolve_tail(
-            xp, *tail_args
-        )
-    accept = accept2[:, 0]
-    killed = killed2[:, 0]
-    ray_src = xp.where(accept2, new_src, ray_src)
-    out_dir = xp.where(accept2, -cdir_u, out_dir)
+    ray_src = vwhere(accept, new_src, ray_src, xp)
+    out_dir = vwhere(accept, -cdir_u, out_dir, xp)
     hit_idx = xp.where(accept, c_idx.astype(hit_idx.dtype), hit_idx)
     active = accept
 
     new_state = (active, ray_src, out_dir, hit_idx, killed)
-    out = [new_state, (dir_out, rate_out)]
-    if cont_override is not None:
-        out.append((c_hit, c_idx, c_t))
     if want_rows:
-        out.append((crow, c_mrow))
-    return tuple(out) if len(out) > 2 else (out[0], out[1])
+        return new_state, (dir_out, rate_out), (crow_t, c_mrow_t)
+    return new_state, (dir_out, rate_out)
 
 
 def composite(dir_ys, rate_ys, xp):
-    """Backward replay-stack fold (PathTrace.cu:1410-1415).
+    """Backward replay-stack fold (PathTrace.cu:1410-1415), row form.
 
     dir_ys/rate_ys: [D, M, 3]. Init from the top entry itself (for lanes
     still alive at the depth cap the reference starts the fold from the
@@ -576,29 +585,36 @@ def composite(dir_ys, rate_ys, xp):
     return l
 
 
-def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
-                   with_stats: bool = False):
-    """Primary rays -> radiance [M, 3] (render_pixel body, cu:1426-1455).
+def composite_p(dir_ys: V3, rate_ys: V3) -> V3:
+    """Plane-form composite: V3 components are [D, M] stacks."""
+    l = V3(dir_ys.x[-1], dir_ys.y[-1], dir_ys.z[-1])
+    d = dir_ys.x.shape[0]
+    for i in range(d - 1, -1, -1):
+        l = l * V3(rate_ys.x[i], rate_ys.y[i], rate_ys.z[i]) \
+            + V3(dir_ys.x[i], dir_ys.y[i], dir_ys.z[i])
+    return l
+
+
+def trace_radiance_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
+                     nearest_fn, with_stats: bool = False):
+    """Primary rays (SoA planes) -> radiance V3 (render_pixel body,
+    cu:1426-1455).
 
     with_stats=True also returns the number of *useful* rays traced
     (primary + per-bounce shadow/continuation rays of live lanes) for
     Mrays/sec accounting — masked dead lanes are not counted.
     """
-    from ..scene import scene as scene_mod
-
-    m = origins.shape[0]
-    d_unit = _unit(dirs, xp)
+    m = origins.x.shape[0]
+    d_unit = _unit_p(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
-    hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
-    sky0 = envmap.sample_env_sd(sd, d_unit, xp, clamp=cfg.hdr_clamp)
-    row0 = _tri_rows(sd, xp.where(hit0, idx0, 0))
-    le0 = _mat_rows(
-        sd, row0[:, scene_mod.TRI_OBJ].astype(xp.int32), xp
-    )[:, scene_mod.MAT_EMISSIVE]
+    hit0, idx0, t0 = _nearest_planes(nearest_fn, origins, d_unit, ex0, xp)
+    sky0 = envmap.sample_env_sd_p(sd, d_unit, xp, clamp=cfg.hdr_clamp)
+    row0_t = _tri_rows_t(sd, xp.where(hit0, idx0, 0), xp)
+    le0 = vm.v3rows(_mat_rows_t(sd, row0_t[12].astype(xp.int32), xp), 0)
 
     state = (
         hit0,
-        origins + d_unit * t0[..., None],
+        origins + d_unit * t0,
         -d_unit,
         xp.where(hit0, idx0, 0),
         xp.zeros(m, bool),
@@ -624,17 +640,37 @@ def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         for b in range(cfg.max_depth):
             n_rays += int(state[0].sum()) * rays_per_lane
             state, (d_b, r_b) = bounce_step(
-                state, np.uint32(b), pixel_id, sample_id, sd, cfg, np, nearest_fn
+                state, np.uint32(b), pixel_id, sample_id, sd, cfg, np,
+                nearest_fn,
             )
             dir_list.append(d_b)
             rate_list.append(r_b)
-        dir_ys = np.stack(dir_list)
-        rate_ys = np.stack(rate_list)
+        dir_ys = V3(np.stack([v.x for v in dir_list]),
+                    np.stack([v.y for v in dir_list]),
+                    np.stack([v.z for v in dir_list]))
+        rate_ys = V3(np.stack([v.x for v in rate_list]),
+                     np.stack([v.y for v in rate_list]),
+                     np.stack([v.z for v in rate_list]))
 
-    li = composite(dir_ys, rate_ys, xp)
+    li = composite_p(dir_ys, rate_ys)
     killed = state[4]
-    li = xp.where(killed[..., None], 0.0, li)
-    radiance = xp.where(hit0[..., None], le0 + li, sky0)
+    li = vwhere(killed, 0.0, li, xp)
+    radiance = vwhere(hit0, le0 + li, sky0, xp)
     if with_stats:
         return radiance, n_rays
     return radiance
+
+
+def trace_radiance(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
+                   with_stats: bool = False):
+    """Row-vector wrapper around trace_radiance_p (one [M, 3] unstack at
+    entry, one stack at exit — the hot engines call the plane form
+    directly)."""
+    out = trace_radiance_p(
+        vm.v3unstack(origins), vm.v3unstack(dirs), pixel_id, sample_id, sd,
+        cfg, xp, nearest_fn, with_stats=with_stats,
+    )
+    if with_stats:
+        rad, n_rays = out
+        return vm.v3stack(rad, xp), n_rays
+    return vm.v3stack(out, xp)

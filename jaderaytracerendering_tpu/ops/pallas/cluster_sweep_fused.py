@@ -236,19 +236,38 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
     cheaper any-hit epilogue (no division / winner tracking); their idx
     is 0 and t is 1.0-when-hit. Rows outside aligned tile bounds keep
     full nearest semantics."""
+    m = origins.shape[0]
+    dirs_u = vm.normalize(dirs, jnp)
+    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, M]
+    return nearest_hit_sweep_fused_feats_jnp(
+        feats, exclude.astype(jnp.int32)[None, :], sd, tile_m=tile_m,
+        interpret=interpret, anyhit=anyhit, l_cap=l_cap,
+        _debug_variant=_debug_variant)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
+                                             "l_cap", "_debug_variant"))
+def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=256,
+                                      interpret=False, anyhit=None, l_cap=64,
+                                      _debug_variant="full"):
+    """Feats-level entry: the integrator builds the transposed ray
+    features ([16, M] = d, dxo, o, 1, 0-pad rows; gemm_intersect.
+    ray_features_t16 layout) and exclusion ([1, M] i32) directly from
+    its SoA planes, so no padded [M, 3] batch buffers ever materialize
+    at the kernel boundary (docs/PERF.md round-3 layout plan).
+    Directions must be pre-normalized (zero-direction rays miss)."""
     c = sd.n_clusters
     kp = sd.cluster_coef.shape[2] // 4
     cp = sd.cluster_triu.shape[0]
-    m = origins.shape[0]
-    dirs_u = vm.normalize(dirs, jnp)
+    m = feats.shape[1]
     pad = (-m) % tile_m
     if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
-        dirs_u = jnp.concatenate([dirs_u, jnp.zeros((pad, 3), dirs_u.dtype)])
-        exclude = jnp.concatenate([exclude, jnp.full((pad,), -1, exclude.dtype)])
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((16, pad), feats.dtype)], axis=1)
+        exclude = jnp.concatenate(
+            [exclude, jnp.full((1, pad), -1, exclude.dtype)], axis=1)
     mp = m + pad
     n_tiles = mp // tile_m
-    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, Mp]
 
     if anyhit is not None:
         tlo = -(-anyhit[0] // tile_m)     # first tile fully inside
@@ -289,7 +308,7 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
             pltpu.VMEM((tile_m, kp), jnp.int32),    # winner begin wide
         ],
         interpret=interpret,
-    )(feats, exclude[None, :].astype(jnp.int32), sd.cluster_planes,
+    )(feats, exclude, sd.cluster_planes,
       sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
     bt = bt[0, :m]
     bi = bi[0, :m]

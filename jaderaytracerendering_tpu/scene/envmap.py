@@ -133,6 +133,51 @@ def sample_env_packed(pack, shape, dirs, xp, clamp: float = 10.0):
     return xp.minimum(color, clamp)
 
 
+def sample_env_packed_p(pack, shape, d, xp, clamp: float = 10.0):
+    """Plane (SoA) form of sample_env_packed: ``d`` is a vecmath.V3 of
+    unit-direction planes; returns a V3. One wide row gather, transposed
+    to [16, M] so the 2x2 texel reads are dense sublane rows (a [M, 16]
+    column slice pays the 8x lane pad; docs/PERF.md round-3). Identical
+    math and rounding order to sample_env_packed."""
+    from ..core.vecmath import V3, v3rows
+
+    h, w = shape
+    u = xp.arctan2(d.z, d.x) / (2.0 * 3.1415926) + 0.5
+    v = 1.0 - (xp.arcsin(xp.clip(d.y, -1.0, 1.0)) / 3.1415926 + 0.5)
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = xp.floor(fx)
+    y0 = xp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = xp.clip(x0.astype(xp.int32), -1, w - 1)
+    y0i = xp.clip(y0.astype(xp.int32), -1, h - 1)
+    rowt = xp.transpose(pack[(y0i + 1) * (w + 1) + (x0i + 1)])  # [16, M]
+    c00 = v3rows(rowt, 0)
+    c01 = v3rows(rowt, 3)
+    c10 = v3rows(rowt, 6)
+    c11 = v3rows(rowt, 9)
+    color = (
+        c00 * (1 - tx) * (1 - ty)
+        + c01 * tx * (1 - ty)
+        + c10 * (1 - tx) * ty
+        + c11 * tx * ty
+    )
+    return V3(xp.minimum(color.x, clamp), xp.minimum(color.y, clamp),
+              xp.minimum(color.z, clamp))
+
+
+def sample_env_sd_p(sd, d, xp, clamp: float = 10.0):
+    """Scene-aware plane-form env sample (V3 in -> V3 out)."""
+    from ..core.vecmath import v3stack, v3unstack
+
+    if getattr(sd, "env_pack", None) is not None and sd.env_pack.shape[0]:
+        return sample_env_packed_p(
+            sd.env_pack, (sd.env_map.shape[0], sd.env_map.shape[1]), d, xp,
+            clamp)
+    return v3unstack(sample_env(sd.env_map, v3stack(d, xp), xp, clamp))
+
+
 def sample_env_sd(sd, dirs, xp, clamp: float = 10.0):
     """Scene-aware env sample: packed fast path when the scene carries
     env_pack (assemble always builds it), else the plain bilinear path."""

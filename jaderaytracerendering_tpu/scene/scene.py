@@ -279,11 +279,16 @@ def assemble(
     else:
         ctriu = np.zeros((0, 0), np.float32)
 
-    # level-1 chunk AABBs (streaming sweep): union over 128-cluster runs
+    # level-1 chunk AABBs (streaming sweep): union over 128-cluster runs.
+    # NOTE the inverted [1e30, -1e30] padding boxes DO pass the slab test
+    # (the kernel sorts the per-axis plane crossings, so an inverted box
+    # behaves like a huge always-hit one) — padding lanes are harmless
+    # only because the stream kernel iterates just cp//128 real chunks
+    # and never reads sentinel lanes; do not rely on these never hitting.
     n_chunks = c_pad // 128
     nc_pad = -(-max(n_chunks, 1) // 128) * 128
     cchunk = np.zeros((8, nc_pad), np.float32)
-    cchunk[0:3, :] = 1e30   # empty sentinel: inverted box never activates
+    cchunk[0:3, :] = 1e30
     cchunk[3:6, :] = -1e30
     for j in range(n_chunks):
         b, e = j * 128, min((j + 1) * 128, cl.n_clusters)

@@ -42,10 +42,6 @@ class RenderConfig:
     bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
     # make_nearest asserts it covers the built tree's depth + 1
     mesh_shape: Optional[Tuple[int, ...]] = None  # device mesh, None = single chip
-    pallas_shading: bool = False      # fuse the post-trace resolve into a
-    # Pallas kernel (ops/pallas/shade_resolve). Parity-tested but OFF by
-    # default: with the current [M,small] padded-layout interfaces it
-    # measured 7.4 vs 8.7 Mrays/s (docs/PERF.md round-3 layout plan)
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)
@@ -55,7 +51,10 @@ class RenderConfig:
         data = json.loads(text)
         if data.get("mesh_shape") is not None:
             data["mesh_shape"] = tuple(data["mesh_shape"])
-        return RenderConfig(**data)
+        # tolerate fields from older configs (e.g. the removed
+        # pallas_shading flag) so archived render_args survive upgrades
+        known = {f.name for f in dataclasses.fields(RenderConfig)}
+        return RenderConfig(**{k: v for k, v in data.items() if k in known})
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

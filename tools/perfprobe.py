@@ -1,0 +1,133 @@
+"""Perf probe: marginal per-iteration cost of the pool loop + HLO census.
+
+Methodology per docs/PERF.md: run the jitted pool with two max_iters
+values and take (wall_b - wall_a) / (iters_b - iters_a) — per-call fixed
+overhead (dispatch, compile cache lookup, host transfer) cancels out.
+Host transfers of the returned counters are the completion barrier
+(block_until_ready under-synchronizes on axon).
+
+--census additionally prints an opcode census of the compiled module's
+while-body (fusions / copies / gathers / scatters / custom-calls) and
+the padded-buffer bytes each copy moves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tris", type=int, default=20_000)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--iters-a", type=int, default=40)
+    ap.add_argument("--iters-b", type=int, default=140)
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--census", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pool-m", type=int, default=1 << 14)
+    ap.add_argument("--traversal", default="sweep")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from jaderaytracerendering_tpu.integrator import pool
+    from jaderaytracerendering_tpu.models import demo
+    from jaderaytracerendering_tpu.scene.scene import assemble
+    from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+    ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
+    ds.camera.r = 2.2
+    ds.camera.up_angle = 10.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = RenderConfig(width=256, height=256, spp=16, spp_batch=4,
+                       max_depth=args.depth, traversal=args.traversal,
+                       engine="pool", rays_per_launch=args.pool_m)
+    eye = jnp.asarray(ds.camera.eye, jnp.float32)
+    rot = jnp.asarray(ds.camera.camera_rotate, jnp.float32)
+    npix = cfg.width * cfg.height
+    total = npix * cfg.spp
+    pool_m = int(min(cfg.rays_per_launch, total))
+
+    if args.census:
+        lowered = jax.jit(
+            pool._pool_render_impl,
+            static_argnames=("cfg", "pool_m", "max_iters"),
+        ).lower(sd, eye, rot, total, cfg, pool_m, 0, None, 10**6)
+        txt = lowered.compile().as_text()
+        census(txt)
+        return
+
+    def run(mi):
+        accum, done, n_rays, iters = pool._pool_render(
+            sd, eye, rot, total, cfg, pool_m, 0, max_iters=mi)
+        return float(done), int(iters)  # host transfer barrier
+
+    # warmup both compilations
+    for mi in (args.iters_a, args.iters_b):
+        for _ in range(3):
+            run(mi)
+
+    best = {}
+    for _ in range(args.reps):
+        for mi in (args.iters_a, args.iters_b):
+            t0 = time.perf_counter()
+            _, iters = run(mi)
+            dt = time.perf_counter() - t0
+            if mi not in best or dt < best[mi][0]:
+                best[mi] = (dt, iters)
+    (ta, ia), (tb, ib) = best[args.iters_a], best[args.iters_b]
+    print(f"A: {ia} iters {ta*1e3:.1f} ms   B: {ib} iters {tb*1e3:.1f} ms")
+    if ib > ia:
+        print(f"marginal per-iteration: {(tb - ta) / (ib - ia) * 1e3:.3f} ms")
+
+
+def census(txt: str):
+    """Count ops inside while-loop bodies of an optimized HLO dump."""
+    ops = collections.Counter()
+    copy_bytes = 0
+    shape_re = re.compile(r"(f32|s32|u32|pred|bf16)\[([0-9,]*)\]")
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "bf16": 2}
+    in_body = False
+    for line in txt.splitlines():
+        if line.startswith("%region_") or ("_body" in line and line.startswith("%")):
+            in_body = True
+        if line.startswith("ENTRY"):
+            in_body = False
+        s = line.strip()
+        m = re.match(r"%?[\w.-]+ = ([a-z0-9_-]+)\[?", s.replace("= (", "= "))
+        if not m:
+            continue
+        op = m.group(1)
+        if op in ("fusion", "copy", "gather", "scatter", "custom-call",
+                  "transpose", "dot", "convert", "while", "dynamic-slice",
+                  "dynamic-update-slice", "reduce", "concatenate",
+                  "broadcast", "iota", "bitcast", "reshape", "slice",
+                  "all-reduce", "select", "add", "pad"):
+            ops[op] += 1
+            if op == "copy":
+                sm = shape_re.search(s)
+                if sm:
+                    dims = [int(x) for x in sm.group(2).split(",") if x]
+                    n = 1
+                    for d in dims:
+                        n *= d
+                    copy_bytes += n * dt_bytes[sm.group(1)]
+    for op, n in ops.most_common():
+        print(f"{op:20s} {n}")
+    print(f"copy payload bytes (pre-pad): {copy_bytes/1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()
