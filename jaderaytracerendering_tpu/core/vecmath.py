@@ -39,6 +39,20 @@ def norm(v, xp):
     return xp.sqrt(dot_s(v, v, xp))
 
 
+def _np_quiet(xp):
+    """errstate guard for the NumPy backend: masked dead lanes carry
+    zero directions by design, and their 1/0 -> inf/NaN results are
+    select-discarded — silence the (expected) FP warnings so real ones
+    stand out. JAX has no FP warnings; use a no-op there."""
+    if xp.__name__ == "numpy":
+        import numpy as _np
+
+        return _np.errstate(divide="ignore", invalid="ignore")
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 def normalize(v, xp, eps=0.0):
     """Unit vector; matches the reference's 1/sqrt form (PathTrace.cu:278-281).
 
@@ -48,7 +62,8 @@ def normalize(v, xp, eps=0.0):
     n2 = dot(v, v, xp)
     if eps:
         n2 = xp.maximum(n2, eps)
-    return v * (1.0 / xp.sqrt(n2))
+    with _np_quiet(xp):
+        return v * (1.0 / xp.sqrt(n2))
 
 
 def transform_point(m, v, xp):
@@ -173,7 +188,8 @@ def vnormalize(v: V3, xp, eps=0.0) -> V3:
     n2 = vdot(v, v)
     if eps:
         n2 = xp.maximum(n2, eps)
-    return v * (1.0 / xp.sqrt(n2))
+    with _np_quiet(xp):
+        return v * (1.0 / xp.sqrt(n2))
 
 
 def vwhere(mask, a, b, xp) -> V3:

@@ -98,9 +98,38 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             nearest, o, d, jnp.full((m,), -1, jnp.int32), jnp)
         return o, d, hit, idx, t
 
+    # ---- packed carry ----------------------------------------------------
+    # The axon runtime pays a fixed per-call cost per while-loop carry
+    # buffer (measured: the 30-buffer plane carry cost ~50 ms/call more
+    # than the round-2 18-buffer carry at an IMPROVED marginal). Pack the
+    # whole state into 5 buffers: [48, M] f32 (15 state planes + the two
+    # [16, M] row tables), [8, M] u32 (masks/ids/bounce counters), a flat
+    # [3*(npix+1)] film (which also merges the 3 per-channel scatters
+    # into one), a [4] i32 counter vector and the f32 ray counter.
+    # Sublane row slices/stacks are dense and fuse — the pack costs ~2
+    # extra kernels/iter, the unpack none.
+    P = npix + 1
+
+    def unpack(fst, ust):
+        src = V3(fst[0], fst[1], fst[2])
+        out = V3(fst[3], fst[4], fst[5])
+        t_put = V3(fst[6], fst[7], fst[8])
+        l_acc = V3(fst[9], fst[10], fst[11])
+        le0 = V3(fst[12], fst[13], fst[14])
+        trow = fst[16:32]
+        mrow = fst[32:48]
+        active = ust[0] != 0
+        hit_idx = ust[1].astype(jnp.int32)
+        b = ust[2]
+        slot, pix, smp = ust[3], ust[4], ust[5]
+        return (active, src, out, hit_idx, b, t_put, l_acc, le0, slot, pix,
+                smp, trow, mrow)
+
     def body(carry):
+        fst, ust, accum, cnt, n_rays0 = carry
         (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, slot, pix,
-         smp, next_sample, done, accum, it, n_rays0, trow, mrow) = carry
+         smp, trow, mrow) = unpack(fst, ust)
+        next_sample, it = cnt[0], cnt[2]
 
         # ---- advance live paths one bounce ----
         st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
@@ -135,20 +164,19 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         p_mrow = _mat_rows_t(sd, row0[scene_mod.TRI_OBJ].astype(jnp.int32),
                              jnp)
         p_le = V3(p_mrow[0], p_mrow[1], p_mrow[2])   # MAT_EMISSIVE
-        # sky misses complete immediately
+        # sky misses complete immediately. One flat scatter covers all
+        # three channels: channel c lives at [c*P, c*P + npix) of the
+        # flat film, row npix of each channel is its drop slot.
         miss = got & ~p_hit
         ids2 = jnp.concatenate([slot_done, jnp.where(miss, slot, npix)])
-        ax, ay, az = accum
-        ax = ax.at[ids2].add(
-            jnp.concatenate([contrib.x, jnp.where(miss, sky.x, 0.0)]),
-            mode="drop")
-        ay = ay.at[ids2].add(
-            jnp.concatenate([contrib.y, jnp.where(miss, sky.y, 0.0)]),
-            mode="drop")
-        az = az.at[ids2].add(
-            jnp.concatenate([contrib.z, jnp.where(miss, sky.z, 0.0)]),
-            mode="drop")
-        accum = (ax, ay, az)
+        ids6 = jnp.concatenate([ids2, ids2 + jnp.uint32(P),
+                                ids2 + jnp.uint32(2 * P)])
+        vals6 = jnp.concatenate([
+            contrib.x, jnp.where(miss, sky.x, 0.0),
+            contrib.y, jnp.where(miss, sky.y, 0.0),
+            contrib.z, jnp.where(miss, sky.z, 0.0),
+        ])
+        accum = accum.at[ids6].add(vals6, mode="drop")
         # one merged reduction for all four per-iteration counters (each
         # separate reduce is an unfused ~30us launch on axon); f32 sums
         # of 0/1 masks are exact up to 2^24 >> pool_m. n_rays is a
@@ -157,7 +185,7 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         red = jnp.sum(jnp.stack(
             [finished, miss, active, got], axis=0).astype(jnp.float32),
             axis=1)
-        done = done + (red[0] + red[1]).astype(jnp.int32)
+        done = cnt[1] + (red[0] + red[1]).astype(jnp.int32)
         n_rays = n_rays0 + red[2] * (sd.n_emit + 2) + red[3]
         started = got & p_hit
 
@@ -176,42 +204,47 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         trow_n = jnp.where(st2d, row0, jnp.where(cont2d, crow, trow0))
         mrow_n = jnp.where(st2d, p_mrow, jnp.where(cont2d, c_mrow, mrow0))
 
-        return (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0,
-                slot, pix, smp, next_sample, done, accum, it + 1, n_rays,
-                trow_n, mrow_n)
+        zrow = jnp.zeros((1, m), jnp.float32)
+        fst_n = jnp.concatenate([
+            jnp.stack([ray_src.x, ray_src.y, ray_src.z,
+                       out_dir.x, out_dir.y, out_dir.z,
+                       t_put.x, t_put.y, t_put.z,
+                       l_acc.x, l_acc.y, l_acc.z,
+                       le0.x, le0.y, le0.z]),
+            zrow, trow_n, mrow_n,
+        ])
+        zu = jnp.zeros((m,), jnp.uint32)
+        ust_n = jnp.stack([
+            active.astype(jnp.uint32), hit_idx.astype(jnp.uint32),
+            b.astype(jnp.uint32), slot, pix, smp, zu, zu,
+        ])
+        cnt_n = jnp.stack([next_sample, done, it + 1, jnp.int32(0)])
+        return (fst_n, ust_n, accum, cnt_n, n_rays)
 
-    zf = jnp.zeros((m,), jnp.float32)
-    of = jnp.ones((m,), jnp.float32)
-    init = (
-        jnp.zeros(m, bool),
-        V3(zf, zf, zf),
-        V3(zf, zf, zf),
-        jnp.zeros(m, jnp.int32),
-        jnp.zeros(m, jnp.uint32),
-        V3(of, of, of),
-        V3(zf, zf, zf),
-        V3(zf, zf, zf),
-        jnp.zeros(m, jnp.uint32),  # slot
-        jnp.zeros(m, jnp.uint32),  # pix (global)
-        jnp.zeros(m, jnp.uint32),  # smp
-        jnp.int32(0),
-        jnp.int32(0),
-        tuple(jnp.zeros((npix + 1,), jnp.float32) for _ in range(3)),
-        jnp.int32(0),
-        jnp.float32(0),  # useful-ray counter (metric only)
-        jnp.broadcast_to(trow0, (trow0.shape[0], m)),  # row carry [16, M]
+    fst0 = jnp.concatenate([
+        jnp.zeros((6, m), jnp.float32),
+        jnp.ones((3, m), jnp.float32),             # t_put
+        jnp.zeros((7, m), jnp.float32),            # l_acc, le0, pad
+        jnp.broadcast_to(trow0, (trow0.shape[0], m)),
         jnp.broadcast_to(mrow0, (mrow0.shape[0], m)),
+    ])
+    init = (
+        fst0,
+        jnp.zeros((8, m), jnp.uint32),
+        jnp.zeros((3 * P,), jnp.float32),
+        jnp.zeros((4,), jnp.int32),
+        jnp.float32(0),  # useful-ray counter (metric only)
     )
 
     def cond(carry):
-        return (carry[12] < total_samples) & (carry[14] < max_iters)
+        return (carry[3][1] < total_samples) & (carry[3][2] < max_iters)
 
-    out = jax.lax.while_loop(cond, body, init)
-    ax, ay, az = out[13]
-    film = jnp.stack([ax[:npix], ay[:npix], az[:npix]], axis=-1)
+    fst, ust, acc, cnt, n_rays = jax.lax.while_loop(cond, body, init)
+    film = jnp.stack([acc[0:npix], acc[P:P + npix], acc[2 * P:2 * P + npix]],
+                     axis=-1)
     # (film, samples done, useful rays, loop iterations) — iterations are
     # the perf diagnostic: wall time / iters is the per-bounce step cost
-    return film, out[12], out[15], out[14]
+    return film, cnt[1], n_rays, cnt[2]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))

@@ -6,6 +6,11 @@ multiplicative ``history`` throughput, emissive + sky accumulation, and
 *no* NEE shadow rays — the cost profile that gives the reference its
 interactive FPS. Used by the preview CLI per progressive frame; the full
 wavefront integrator (wavefront.py) is the offline/'R-key' path.
+
+Runs on lane-dense SoA planes like the main integrator (wavefront.py
+module docstring): dense [M] planes, V3 triples, transposed row tables,
+feats-level kernel entry — preview frames are dispatch/layout-bound, so
+the plane form is what makes large interactive launches cheap.
 """
 
 from __future__ import annotations
@@ -15,66 +20,79 @@ import jax
 import jax.numpy as jnp
 
 from ..core import rng, vecmath as vm
-from ..scene import envmap, scene as scene_mod
+from ..core.vecmath import V3, vdot, vwhere
+from ..scene import envmap
 from . import sampling
 from .sampling import PI
-from .wavefront import _mat_rows, _tri_rows, _unit
+from .wavefront import _mat_rows_t, _nearest_planes, _tri_rows_t, _unit_p
 
 S = rng.DrawSites
 
 
-def trace_preview(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
-                  max_bounce: int = 2):
-    """Primary rays -> radiance [M, 3] at preview quality."""
-    m = origins.shape[0]
-    d_unit = _unit(dirs, xp)
+def trace_preview_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
+                    nearest_fn, max_bounce: int = 2) -> V3:
+    """Primary rays (SoA planes) -> radiance V3 at preview quality."""
+    m = origins.x.shape[0]
+    d_unit = _unit_p(dirs, xp)
     ex0 = xp.full((m,), -1, xp.int32)
-    hit0, idx0, t0 = nearest_fn(origins, d_unit, ex0)
-    sky0 = envmap.sample_env_sd(sd, d_unit, xp, clamp=cfg.hdr_clamp)
+    hit0, idx0, t0 = _nearest_planes(nearest_fn, origins, d_unit, ex0, xp)
+    sky0 = envmap.sample_env_sd_p(sd, d_unit, xp, clamp=cfg.hdr_clamp)
 
-    row0 = _tri_rows(sd, xp.where(hit0, idx0, 0))
-    le0 = _mat_rows(sd, row0[:, scene_mod.TRI_OBJ].astype(xp.int32), xp)[
-        :, scene_mod.MAT_EMISSIVE
-    ]
+    row0 = _tri_rows_t(sd, xp.where(hit0, idx0, 0), xp)
+    le0 = vm.v3rows(_mat_rows_t(sd, row0[12].astype(xp.int32), xp), 0)
 
-    lo = xp.zeros((m, 3), xp.float32)
-    history = xp.ones((m, 3), xp.float32)
+    zero = xp.zeros((m,), xp.float32)
+    one = xp.ones((m,), xp.float32)
+    lo = V3(zero, zero, zero)
+    history = V3(one, one, one)
     active = hit0
-    point = origins + d_unit * t0[..., None]
+    point = origins + d_unit * t0
     view_dir = d_unit  # incoming direction (toward the surface)
     tri = xp.where(hit0, idx0, 0)
 
     for b in range(max_bounce):
-        trow = _tri_rows(sd, tri)
-        normal = trow[:, scene_mod.TRI_NORM]
-        obj = trow[:, scene_mod.TRI_OBJ].astype(xp.int32)
-        brdf = _mat_rows(sd, obj, xp)[:, scene_mod.MAT_BRDF]
+        trow = _tri_rows_t(sd, tri, xp)
+        normal = vm.v3rows(trow, 9)                     # TRI_NORM
+        obj = trow[12].astype(xp.int32)                 # TRI_OBJ
+        brdf = vm.v3rows(_mat_rows_t(sd, obj, xp), 3)   # MAT_BRDF
         u1 = rng.uniform(xp, pixel_id, sample_id, b + 1, S.CONT_COS, cfg.seed)
         u2 = rng.uniform(xp, pixel_id, sample_id, b + 1, S.CONT_PHI, cfg.seed)
-        wi = sampling.uniform_sphere(u1, u2, xp)
+        wi = sampling.uniform_sphere_p(u1, u2, xp)
         # fold away from the view direction (fshader_preview.fsh:343-345)
-        flip = vm.dot(wi, normal, xp) * vm.dot(view_dir, normal, xp) > 0
-        wi = xp.where(flip, -wi, wi)
-        wi = xp.where(active[..., None], wi, 0.0)
+        flip = vdot(wi, normal) * vdot(view_dir, normal) > 0
+        wi = vwhere(flip, -wi, wi, xp)
+        wi = vwhere(active, wi, 0.0, xp)
 
-        hit, idx, t = nearest_fn(point, wi, xp.where(active, tri, -2))
-        nrow = _tri_rows(sd, xp.where(hit, idx, 0))
-        n_emis = _mat_rows(sd, nrow[:, scene_mod.TRI_OBJ].astype(xp.int32), xp)[
-            :, scene_mod.MAT_EMISSIVE
-        ]
-        cos_i = xp.abs(vm.dot(wi, normal, xp))
+        hit, idx, t = _nearest_planes(
+            nearest_fn, point, wi, xp.where(active, tri, -2), xp)
+        nrow = _tri_rows_t(sd, xp.where(hit, idx, 0), xp)
+        n_emis = vm.v3rows(
+            _mat_rows_t(sd, nrow[12].astype(xp.int32), xp), 0)
+        cos_i = xp.abs(vdot(wi, normal))
         f_r = brdf * (1.0 / PI)
         weight = f_r * cos_i * (2.0 * PI)  # / pdf = * 2pi
 
-        sky = envmap.sample_env_sd(sd, _unit(wi, xp), xp, clamp=cfg.hdr_clamp)
+        wi_u = _unit_p(wi, xp)
+        sky = envmap.sample_env_sd_p(sd, wi_u, xp, clamp=cfg.hdr_clamp)
         miss = active & ~hit
-        lo = lo + xp.where(miss[..., None], history * sky * weight, 0.0)
-        lo = lo + xp.where((active & hit)[..., None], history * n_emis * weight, 0.0)
+        lo = lo + vwhere(miss, history * sky * weight, 0.0, xp)
+        lo = lo + vwhere(active & hit, history * n_emis * weight, 0.0, xp)
 
-        history = xp.where((active & hit)[..., None], history * weight, history)
-        point = xp.where((active & hit)[..., None], point + _unit(wi, xp) * t[..., None], point)
-        view_dir = xp.where((active & hit)[..., None], _unit(wi, xp), view_dir)
-        tri = xp.where(active & hit, idx, tri)
-        active = active & hit
+        cont = active & hit
+        history = vwhere(cont, history * weight, history, xp)
+        point = vwhere(cont, point + wi_u * t, point, xp)
+        view_dir = vwhere(cont, wi_u, view_dir, xp)
+        tri = xp.where(cont, idx, tri)
+        active = cont
 
-    return xp.where(hit0[..., None], le0 + lo, sky0)
+    return vwhere(hit0, le0 + lo, sky0, xp)
+
+
+def trace_preview(origins, dirs, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
+                  max_bounce: int = 2):
+    """Row-vector wrapper -> radiance [M, 3] (tests / legacy callers)."""
+    out = trace_preview_p(
+        vm.v3unstack(origins), vm.v3unstack(dirs), pixel_id, sample_id, sd,
+        cfg, xp, nearest_fn, max_bounce=max_bounce,
+    )
+    return vm.v3stack(out, xp)

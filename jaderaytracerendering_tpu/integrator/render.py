@@ -156,20 +156,25 @@ def render_batch(sd, eye, cam_rot, pixel_ids, sample_base, cfg: RenderConfig,
     pid = jnp.tile(pixel_ids, sppb)
     sid = (jnp.repeat(jnp.arange(sppb, dtype=jnp.uint32), p)
            + jnp.asarray(sample_base, jnp.uint32))
-    o, d = camera_mod.generate_rays(
+    o, d = camera_mod.generate_rays_p(
         jnp, eye, cam_rot, cfg.width, cfg.height, pid, sid, cfg.seed, cfg.jitter
     )
     nearest = make_nearest(sd, cfg, jnp)
     if cfg.integrator == "preview":
         from . import preview as preview_mod
 
-        rad = preview_mod.trace_preview(
+        rad = preview_mod.trace_preview_p(
             o, d, pid, sid, sd, cfg, jnp, nearest,
             max_bounce=cfg.preview_bounces,
         )
     else:
-        rad = wavefront.trace_radiance(o, d, pid, sid, sd, cfg, jnp, nearest)
-    return rad.reshape(sppb, p, 3).sum(axis=0)
+        rad = wavefront.trace_radiance_p(o, d, pid, sid, sd, cfg, jnp,
+                                         nearest)
+
+    def fold(c):  # radiance sum over the sppb sample axis, per plane
+        return c.reshape(sppb, p).sum(axis=0)
+
+    return jnp.stack([fold(rad.x), fold(rad.y), fold(rad.z)], axis=-1)
 
 
 def render_radiance_np(sd, cam, cfg: RenderConfig) -> np.ndarray:

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--iters-b", type=int, default=140)
     ap.add_argument("--reps", type=int, default=6)
     ap.add_argument("--census", action="store_true")
+    ap.add_argument("--bench", action="store_true",
+                    help="time the bench-identical call (max_iters=1e6)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pool-m", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
@@ -69,6 +71,38 @@ def main():
         census(txt)
         return
 
+    if args.bench:
+        import numpy as np
+
+        for _ in range(2):  # compile + warm
+            accum, done, n_rays, iters = pool._pool_render(
+                sd, eye, rot, total, cfg, pool_m, 0)
+            int(done)
+        best = None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            accum, done, n_rays, iters = pool._pool_render(
+                sd, eye, rot, total, cfg, pool_m, 0)
+            rays = int(n_rays)
+            _ = float(np.asarray(accum).sum())
+            dt = time.perf_counter() - t0
+            if best is None or dt < best[0]:
+                best = (dt, rays, int(iters), int(done))
+        dt, rays, iters, done = best
+        print(f"wall {dt*1e3:.1f} ms  iters {iters}  n_rays {rays}  "
+              f"done {done}  -> {rays/dt/1e6:.2f} Mrays/s  "
+              f"({dt*1e3/iters:.3f} ms/iter incl fixed)")
+        # warmup trace: per-call walls (counter barrier) over many reps
+        walls = []
+        for _ in range(24):
+            t0 = time.perf_counter()
+            accum, done, n_rays, iters = pool._pool_render(
+                sd, eye, rot, total, cfg, pool_m, 0)
+            int(done), int(iters)
+            walls.append((time.perf_counter() - t0) * 1e3)
+        print("walls:", " ".join(f"{w:.0f}" for w in walls))
+        return
+
     def run(mi):
         accum, done, n_rays, iters = pool._pool_render(
             sd, eye, rot, total, cfg, pool_m, 0, max_iters=mi)
@@ -94,39 +128,80 @@ def main():
 
 
 def census(txt: str):
-    """Count ops inside while-loop bodies of an optimized HLO dump."""
-    ops = collections.Counter()
-    copy_bytes = 0
-    shape_re = re.compile(r"(f32|s32|u32|pred|bf16)\[([0-9,]*)\]")
-    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "bf16": 2}
-    in_body = False
+    """Opcode census of the while-loop body computation(s) of an
+    optimized HLO dump (kernel-count proxy: each top-level fusion /
+    copy / gather / scatter / custom-call in the scheduled body is
+    roughly one launch on the axon runtime)."""
+    comps = {}
+    cur = None
     for line in txt.splitlines():
-        if line.startswith("%region_") or ("_body" in line and line.startswith("%")):
-            in_body = True
-        if line.startswith("ENTRY"):
-            in_body = False
-        s = line.strip()
-        m = re.match(r"%?[\w.-]+ = ([a-z0-9_-]+)\[?", s.replace("= (", "= "))
-        if not m:
+        if not line.startswith(" ") and "{" in line and "->" in line:
+            m = re.match(r"(?:ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
+            cur = m.group(1) if m else None
+            if cur:
+                comps[cur] = []
             continue
-        op = m.group(1)
-        if op in ("fusion", "copy", "gather", "scatter", "custom-call",
-                  "transpose", "dot", "convert", "while", "dynamic-slice",
-                  "dynamic-update-slice", "reduce", "concatenate",
-                  "broadcast", "iota", "bitcast", "reshape", "slice",
-                  "all-reduce", "select", "add", "pad"):
+        if line.startswith("}"):
+            cur = None
+            continue
+        if cur is None:
+            continue
+        if not re.match(r"\s+(?:ROOT\s+)?%[\w.\-]+ = ", line):
+            continue
+        # opcode = the known-HLO token directly before a '(' — tuple
+        # types also contain parens, so filter against an opcode list
+        known = ("fusion", "copy", "gather", "scatter", "custom-call",
+                 "transpose", "dot", "convert", "while", "conditional",
+                 "dynamic-slice", "dynamic-update-slice", "reduce",
+                 "concatenate", "broadcast", "iota", "bitcast", "reshape",
+                 "slice", "all-reduce", "select", "add", "pad", "parameter",
+                 "constant", "get-tuple-element", "tuple", "after-all",
+                 "rng-bit-generator", "compare", "multiply", "subtract",
+                 "divide", "maximum", "minimum", "exponential", "sqrt",
+                 "rsqrt", "log", "sort", "clamp", "and", "or", "not",
+                 "xor", "shift-left", "shift-right-logical", "power",
+                 "abs", "floor", "negate", "sign", "atan2", "cosine",
+                 "sine", "is-finite", "reduce-window", "map", "call")
+        for tok in re.findall(r"([a-z][a-z0-9\-]*)\(", line):
+            if tok in known:
+                comps[cur].append((tok, line))
+                break
+    body_names = set()
+    for name, instrs in comps.items():
+        for op, line in instrs:
+            if op == "while":
+                bm = re.search(r"body=%?([\w.\-]+)", line)
+                if bm:
+                    body_names.add(bm.group(1))
+    if not body_names:
+        print("no while body found; computations:", list(comps)[:10])
+        return
+    skip = {"parameter", "constant", "get-tuple-element", "tuple",
+            "bitcast", "after-all"}
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "bf16": 2,
+                "f16": 2, "s8": 1, "u8": 1}
+    shape_re = re.compile(r"= \(?(f32|s32|u32|pred|bf16|f16|s8|u8)"
+                          r"\[([0-9,]*)\]")
+    for bn in sorted(body_names):
+        ops = collections.Counter()
+        copy_bytes = 0
+        total = 0
+        for op, line in comps.get(bn, []):
+            if op in skip:
+                continue
             ops[op] += 1
-            if op == "copy":
-                sm = shape_re.search(s)
+            total += 1
+            if op in ("copy", "transpose"):
+                sm = shape_re.search(line)
                 if sm:
-                    dims = [int(x) for x in sm.group(2).split(",") if x]
                     n = 1
-                    for d in dims:
+                    for d in (int(x) for x in sm.group(2).split(",") if x):
                         n *= d
                     copy_bytes += n * dt_bytes[sm.group(1)]
-    for op, n in ops.most_common():
-        print(f"{op:20s} {n}")
-    print(f"copy payload bytes (pre-pad): {copy_bytes/1e6:.1f} MB")
+        print(f"--- while body {bn}: {total} instructions ---")
+        for op, n in ops.most_common():
+            print(f"  {op:24s} {n}")
+        print(f"  copy/transpose payload (pre-pad): {copy_bytes/1e6:.1f} MB")
 
 
 if __name__ == "__main__":
