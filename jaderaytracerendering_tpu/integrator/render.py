@@ -96,10 +96,16 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
             # explicit sweep_stream forces DMA streaming even when the
             # table would fit VMEM; the auto route lets size decide
             force = True if cfg.traversal == "sweep_stream" else None
-            return lambda o, d, e, **_kw: (
+            fn = lambda o, d, e, **_kw: (
                 cluster_sweep_stream.nearest_hit_sweep_stream_jnp(
                     o, d, e, sd, interpret=interp, stream=force
                 ))
+            fn.from_feats = lambda feats, ex, anyhit=None: (
+                cluster_sweep_stream.nearest_hit_sweep_stream_feats_jnp(
+                    feats, ex, sd, interpret=interp, stream=force,
+                    anyhit=anyhit
+                ))
+            return fn
         if use_fused:
             from ..ops.pallas import cluster_sweep_fused
 

@@ -237,21 +237,38 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
 
     ``stream=None`` auto-selects: coefficient tables beyond the VMEM
     budget stream from HBM; small scenes stay VMEM-resident."""
+    dirs_u = vm.normalize(dirs, jnp)
+    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, M]
+    return nearest_hit_sweep_stream_feats_jnp(
+        feats, exclude.astype(jnp.int32)[None, :], sd, tile_m=tile_m,
+        interpret=interpret, stream=stream, l_cap=l_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "stream",
+                                             "l_cap", "anyhit"))
+def nearest_hit_sweep_stream_feats_jnp(feats, exclude, sd, tile_m=128,
+                                       interpret=False, stream=None,
+                                       l_cap=L_CAP, anyhit=None):
+    """Feats-level entry (see cluster_sweep_fused counterpart): the
+    integrator passes [16, M] transposed features + [1, M] i32 exclusion
+    built directly from its SoA planes. ``anyhit`` is accepted for
+    interface parity and currently ignored (full nearest semantics are a
+    superset; the streamed epilogue is reduction-bound, not
+    winner-tracking-bound)."""
     c = sd.n_clusters
     kp = sd.cluster_coef.shape[2] // 4
     cp = sd.cluster_planes.shape[1]
     if stream is None:
         stream = sd.cluster_coef.nbytes > 10 * 1024 * 1024
-    m = origins.shape[0]
-    dirs_u = vm.normalize(dirs, jnp)
+    m = feats.shape[1]
     pad = (-m) % tile_m
     if pad:
-        origins = jnp.concatenate([origins, jnp.zeros((pad, 3), origins.dtype)])
-        dirs_u = jnp.concatenate([dirs_u, jnp.zeros((pad, 3), dirs_u.dtype)])
-        exclude = jnp.concatenate([exclude, jnp.full((pad,), -1, exclude.dtype)])
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((16, pad), feats.dtype)], axis=1)
+        exclude = jnp.concatenate(
+            [exclude, jnp.full((1, pad), -1, exclude.dtype)], axis=1)
     mp = m + pad
     n_tiles = mp // tile_m
-    feats = gemm_intersect.ray_features_t16(origins, dirs_u, jnp)  # [16, Mp]
     triu128 = jnp.triu(jnp.ones((128, 128), jnp.float32))
     ncp = sd.cluster_chunk_planes.shape[1]
 
@@ -295,7 +312,7 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
-    )(feats, exclude[None, :].astype(jnp.int32), sd.cluster_planes,
+    )(feats, exclude, sd.cluster_planes,
       sd.cluster_chunk_planes, sd.cluster_begin_col, triu128,
       sd.cluster_coef)
     bt = bt[0, :m]
