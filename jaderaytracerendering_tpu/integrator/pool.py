@@ -148,61 +148,89 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         still = accept & ~depth_capped
 
         # ---- bank finished paths (scatter merged with sky misses below:
-        # one 2M-update scatter costs ~2/3 of two M-update ones) ----
+        # one merged scatter costs far less than separate ones) ----
         l_final = vwhere(killed, 0.0, l_acc, jnp) + le0
         contrib = vwhere(finished, l_final, 0.0, jnp)
         slot_done = jnp.where(finished, slot, npix)
 
         # ---- respawn freed lanes on fresh samples ----
+        # cfg.spawn_rounds primary-spawn attempts per iteration: a lane
+        # whose sample misses the scene retires it immediately and pulls
+        # the next sample in the SAME iteration, so sky-heavy workloads
+        # are not bounded by one sample per lane per loop iteration.
         fresh = ~still & ~active | finished  # idle or just finished
-        got, next_sample, slot, pix, smp = spawn(fresh, next_sample, slot,
-                                                 pix, smp)
-        o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
-        d_u = _unit_p(d, jnp)
-        sky = envmap.sample_env_sd_p(sd, d_u, jnp, clamp=cfg.hdr_clamp)
-        row0 = _tri_rows_t(sd, jnp.where(p_hit, p_idx, 0), jnp)
-        p_mrow = _mat_rows_t(sd, row0[scene_mod.TRI_OBJ].astype(jnp.int32),
-                             jnp)
-        p_le = V3(p_mrow[0], p_mrow[1], p_mrow[2])   # MAT_EMISSIVE
-        # sky misses complete immediately. One flat scatter covers all
-        # three channels: channel c lives at [c*P, c*P + npix) of the
-        # flat film, row npix of each channel is its drop slot.
-        miss = got & ~p_hit
-        ids2 = jnp.concatenate([slot_done, jnp.where(miss, slot, npix)])
+        started = jnp.zeros(m, bool)
+        o_acc = ray_src2          # placeholders; overwritten where started
+        d_acc = out_dir2
+        p_idx_acc = hit_idx2
+        le_acc = le0
+        row0_acc = crow
+        mrow0_acc = c_mrow
+        miss_ids = []
+        miss_sky = []
+        n_miss = jnp.float32(0)
+        n_prim = jnp.float32(0)
+        for _ in range(max(1, cfg.spawn_rounds)):
+            got, next_sample, slot, pix, smp = spawn(fresh, next_sample,
+                                                     slot, pix, smp)
+            o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
+            d_u = _unit_p(d, jnp)
+            sky = envmap.sample_env_sd_p(sd, d_u, jnp, clamp=cfg.hdr_clamp)
+            row0 = _tri_rows_t(sd, jnp.where(p_hit, p_idx, 0), jnp)
+            p_mrow = _mat_rows_t(
+                sd, row0[scene_mod.TRI_OBJ].astype(jnp.int32), jnp)
+            miss = got & ~p_hit
+            st_r = got & p_hit
+            miss_ids.append(jnp.where(miss, slot, npix))
+            miss_sky.append(vwhere(miss, sky, 0.0, jnp))
+            started = started | st_r
+            o_acc = vwhere(st_r, o + d_u * p_t, o_acc, jnp)
+            d_acc = vwhere(st_r, -d_u, d_acc, jnp)
+            p_idx_acc = jnp.where(st_r, p_idx, p_idx_acc)
+            le_acc = vwhere(st_r, V3(p_mrow[0], p_mrow[1], p_mrow[2]),
+                            le_acc, jnp)
+            st2d = st_r[None, :]
+            row0_acc = jnp.where(st2d, row0, row0_acc)
+            mrow0_acc = jnp.where(st2d, p_mrow, mrow0_acc)
+            n_miss = n_miss + jnp.sum(miss.astype(jnp.float32))
+            n_prim = n_prim + jnp.sum(got.astype(jnp.float32))
+            fresh = fresh & ~st_r  # miss lanes stay fresh for next round
+
+        # One flat scatter covers every channel of the finished paths and
+        # all spawn rounds' sky misses: channel c lives at
+        # [c*P, c*P + npix) of the flat film; row npix is the drop slot.
+        ids2 = jnp.concatenate([slot_done] + miss_ids)
         ids6 = jnp.concatenate([ids2, ids2 + jnp.uint32(P),
                                 ids2 + jnp.uint32(2 * P)])
-        vals6 = jnp.concatenate([
-            contrib.x, jnp.where(miss, sky.x, 0.0),
-            contrib.y, jnp.where(miss, sky.y, 0.0),
-            contrib.z, jnp.where(miss, sky.z, 0.0),
-        ])
+        vals6 = jnp.concatenate(
+            [contrib.x] + [s.x for s in miss_sky]
+            + [contrib.y] + [s.y for s in miss_sky]
+            + [contrib.z] + [s.z for s in miss_sky])
         accum = accum.at[ids6].add(vals6, mode="drop")
-        # one merged reduction for all four per-iteration counters (each
+        # one merged reduction for the per-iteration counters (each
         # separate reduce is an unfused ~30us launch on axon); f32 sums
         # of 0/1 masks are exact up to 2^24 >> pool_m. n_rays is a
         # metric-only f32 counter (can exceed 2^31 on big renders, never
         # exact-compared).
         red = jnp.sum(jnp.stack(
-            [finished, miss, active, got], axis=0).astype(jnp.float32),
-            axis=1)
-        done = cnt[1] + (red[0] + red[1]).astype(jnp.int32)
-        n_rays = n_rays0 + red[2] * (sd.n_emit + 2) + red[3]
-        started = got & p_hit
+            [finished, active], axis=0).astype(jnp.float32), axis=1)
+        done = cnt[1] + (red[0] + n_miss).astype(jnp.int32)
+        n_rays = n_rays0 + red[1] * (sd.n_emit + 2) + n_prim
 
         active = still | started
-        ray_src = vwhere(started, o + d_u * p_t, ray_src2, jnp)
-        out_dir = vwhere(started, -d_u, out_dir2, jnp)
-        hit_idx = jnp.where(started, p_idx, hit_idx2)
+        ray_src = vwhere(started, o_acc, ray_src2, jnp)
+        out_dir = vwhere(started, d_acc, out_dir2, jnp)
+        hit_idx = jnp.where(started, p_idx_acc, hit_idx2)
         b = jnp.where(started, 0, b2)
         t_put = vwhere(started, 1.0, t_put, jnp)
         l_acc = vwhere(started, 0.0, l_acc, jnp)
-        le0 = vwhere(started, p_le, le0, jnp)
+        le0 = vwhere(started, le_acc, le0, jnp)
         # next-iteration row carry: started lanes take the primary hit's
         # rows, continuing lanes the continuation hit's, idle lanes tri 0
         st2d = started[None, :]
         cont2d = still[None, :]
-        trow_n = jnp.where(st2d, row0, jnp.where(cont2d, crow, trow0))
-        mrow_n = jnp.where(st2d, p_mrow, jnp.where(cont2d, c_mrow, mrow0))
+        trow_n = jnp.where(st2d, row0_acc, jnp.where(cont2d, crow, trow0))
+        mrow_n = jnp.where(st2d, mrow0_acc, jnp.where(cont2d, c_mrow, mrow0))
 
         zrow = jnp.zeros((1, m), jnp.float32)
         fst_n = jnp.concatenate([

@@ -38,6 +38,14 @@ class RenderConfig:
     integrator: str = "full"          # 'full' (NEE megakernel) | 'preview'
     preview_bounces: int = 2          # fshader_preview.fsh:397
     engine: str = "pool"              # 'pool' (respawn compaction) | 'scan'
+    spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
+    # iteration. >1 lets sky-miss samples retire at spawn time and pull
+    # the next sample in the SAME iteration, breaking the total/pool_m
+    # iteration floor on miss-heavy films (demo bench: 68 -> 53 iters at
+    # rounds=2) — but each extra round duplicates the spawn chain
+    # (~1.1 ms/iter: cumsum + camera + trace + env/rows), which measured
+    # EXACTLY offsetting today (wall flat, docs/PERF.md round 3). Keep 1
+    # until the spawn chain gets cheaper; the lever is real.
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
     # make_nearest asserts it covers the built tree's depth + 1
