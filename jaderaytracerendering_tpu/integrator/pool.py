@@ -125,6 +125,12 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         return (active, src, out, hit_idx, b, t_put, l_acc, le0, slot, pix,
                 smp, trow, mrow)
 
+    # fused bounce tail: one Pallas kernel for resolve + accumulation +
+    # state packing (ops/pallas/bounce_resolve) — the per-light mask
+    # bit-pack caps it at 19 lights; bigger scenes take the XLA tail
+    use_fused_tail = cfg.fused_tail and sd.n_emit <= 19
+    interp = jax.default_backend() == "cpu"
+
     def body(carry):
         fst, ust, accum, cnt, n_rays0 = carry
         (active, ray_src, out_dir, hit_idx, b, t_put, l_acc, le0, slot, pix,
@@ -133,25 +139,58 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
 
         # ---- advance live paths one bounce ----
         st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
-        st2, (dir_b, rate_b), (crow, c_mrow) = wavefront.bounce_step(
-            st, b, pix, smp, sd, cfg, jnp, nearest, rows=(trow, mrow),
-            want_rows=True,
-        )
-        accept, ray_src2, out_dir2, hit_idx2, killed = st2
-        l_acc = l_acc + t_put * dir_b
-        t_put = t_put * rate_b
-        b2 = jnp.where(active, b + 1, b)
-        depth_capped = accept & (b2 >= cfg.max_depth)
-        # reference fold seeds from the last pushed l_dir at the cap
-        l_acc = l_acc + vwhere(depth_capped, t_put * dir_b, 0.0, jnp)
-        finished = (active & ~accept) | depth_capped
-        still = accept & ~depth_capped
+        if use_fused_tail:
+            from ..ops.pallas import bounce_resolve
 
-        # ---- bank finished paths (scatter merged with sky misses below:
-        # one merged scatter costs far less than separate ones) ----
-        l_final = vwhere(killed, 0.0, l_acc, jnp) + le0
-        contrib = vwhere(finished, l_final, 0.0, jnp)
-        slot_done = jnp.where(finished, slot, npix)
+            def tail_fn(t):
+                p1, ld, maskrow, lights = bounce_resolve.pack_tail(t, jnp)
+                zi = jnp.zeros_like(t.c_idx)
+                aux = jnp.stack([maskrow, t.c_idx, b.astype(jnp.int32),
+                                 slot.astype(jnp.int32), t.hit_idx,
+                                 zi, zi, zi])
+                return bounce_resolve.resolve_bounce(
+                    fst, p1, ld, aux, t.crow_t, t.c_mrow_t, lights,
+                    sd.n_emit, sd.has_sss, sd.has_refract, cfg.rr_rate,
+                    cfg.sss_rate, cfg.max_depth, npix, interpret=interp)
+
+            fst_cont, meta, scat = wavefront.bounce_step(
+                st, b, pix, smp, sd, cfg, jnp, nearest, rows=(trow, mrow),
+                tail_fn=tail_fn,
+            )
+            hit_idx2 = meta[1]
+            b2 = meta[2].astype(jnp.uint32)
+            slot_done = meta[3].astype(jnp.uint32)
+            finished = meta[4] != 0
+            still = meta[5] != 0
+            contrib = V3(scat[0], scat[1], scat[2])
+        else:
+            st2, (dir_b, rate_b), (crow, c_mrow) = wavefront.bounce_step(
+                st, b, pix, smp, sd, cfg, jnp, nearest, rows=(trow, mrow),
+                want_rows=True,
+            )
+            accept, ray_src2, out_dir2, hit_idx2, killed = st2
+            l_acc = l_acc + t_put * dir_b
+            t_put = t_put * rate_b
+            b2 = jnp.where(active, b + 1, b)
+            depth_capped = accept & (b2 >= cfg.max_depth)
+            # reference fold seeds from the last pushed l_dir at the cap
+            l_acc = l_acc + vwhere(depth_capped, t_put * dir_b, 0.0, jnp)
+            finished = (active & ~accept) | depth_capped
+            still = accept & ~depth_capped
+
+            # ---- bank finished paths ----
+            l_final = vwhere(killed, 0.0, l_acc, jnp) + le0
+            contrib = vwhere(finished, l_final, 0.0, jnp)
+            slot_done = jnp.where(finished, slot, npix)
+            zrow = jnp.zeros((1, m), jnp.float32)
+            fst_cont = jnp.concatenate([
+                jnp.stack([ray_src2.x, ray_src2.y, ray_src2.z,
+                           out_dir2.x, out_dir2.y, out_dir2.z,
+                           t_put.x, t_put.y, t_put.z,
+                           l_acc.x, l_acc.y, l_acc.z,
+                           le0.x, le0.y, le0.z]),
+                zrow, crow, c_mrow,
+            ])
 
         # ---- respawn freed lanes on fresh samples ----
         # cfg.spawn_rounds primary-spawn attempts per iteration: a lane
@@ -160,12 +199,12 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         # are not bounded by one sample per lane per loop iteration.
         fresh = ~still & ~active | finished  # idle or just finished
         started = jnp.zeros(m, bool)
-        o_acc = ray_src2          # placeholders; overwritten where started
-        d_acc = out_dir2
-        p_idx_acc = hit_idx2
-        le_acc = le0
-        row0_acc = crow
-        mrow0_acc = c_mrow
+        o_acc = d_acc = le_acc = V3(jnp.zeros(m, jnp.float32),
+                                    jnp.zeros(m, jnp.float32),
+                                    jnp.zeros(m, jnp.float32))
+        p_idx_acc = jnp.zeros(m, jnp.int32)
+        row0_acc = trow0 + jnp.zeros((16, m), jnp.float32)
+        mrow0_acc = mrow0 + jnp.zeros((16, m), jnp.float32)
         miss_ids = []
         miss_sky = []
         n_miss = jnp.float32(0)
@@ -217,34 +256,34 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         done = cnt[1] + (red[0] + n_miss).astype(jnp.int32)
         n_rays = n_rays0 + red[1] * (sd.n_emit + 2) + n_prim
 
+        # ---- block-form next-carry merge: started lanes take the
+        # primary block, continuing lanes the fused-tail block, idle
+        # lanes the tri-0 column ----
         active = still | started
-        ray_src = vwhere(started, o_acc, ray_src2, jnp)
-        out_dir = vwhere(started, d_acc, out_dir2, jnp)
-        hit_idx = jnp.where(started, p_idx_acc, hit_idx2)
-        b = jnp.where(started, 0, b2)
-        t_put = vwhere(started, 1.0, t_put, jnp)
-        l_acc = vwhere(started, 0.0, l_acc, jnp)
-        le0 = vwhere(started, le_acc, le0, jnp)
-        # next-iteration row carry: started lanes take the primary hit's
-        # rows, continuing lanes the continuation hit's, idle lanes tri 0
+        one_m = jnp.ones((m,), jnp.float32)
+        zero_m = jnp.zeros((m,), jnp.float32)
+        zrow = jnp.zeros((1, m), jnp.float32)
+        fst_started = jnp.concatenate([
+            jnp.stack([o_acc.x, o_acc.y, o_acc.z,
+                       d_acc.x, d_acc.y, d_acc.z,
+                       one_m, one_m, one_m,            # t_put = 1
+                       zero_m, zero_m, zero_m,         # l_acc = 0
+                       le_acc.x, le_acc.y, le_acc.z]),
+            zrow, row0_acc, mrow0_acc,
+        ])
+        fst_idle = jnp.concatenate([
+            jnp.zeros((16, 1), jnp.float32), trow0, mrow0,
+        ])
         st2d = started[None, :]
         cont2d = still[None, :]
-        trow_n = jnp.where(st2d, row0_acc, jnp.where(cont2d, crow, trow0))
-        mrow_n = jnp.where(st2d, mrow0_acc, jnp.where(cont2d, c_mrow, mrow0))
-
-        zrow = jnp.zeros((1, m), jnp.float32)
-        fst_n = jnp.concatenate([
-            jnp.stack([ray_src.x, ray_src.y, ray_src.z,
-                       out_dir.x, out_dir.y, out_dir.z,
-                       t_put.x, t_put.y, t_put.z,
-                       l_acc.x, l_acc.y, l_acc.z,
-                       le0.x, le0.y, le0.z]),
-            zrow, trow_n, mrow_n,
-        ])
+        fst_n = jnp.where(st2d, fst_started,
+                          jnp.where(cont2d, fst_cont, fst_idle))
+        hit_idx_n = jnp.where(started, p_idx_acc, hit_idx2)
+        b_n = jnp.where(started, 0, b2)
         zu = jnp.zeros((m,), jnp.uint32)
         ust_n = jnp.stack([
-            active.astype(jnp.uint32), hit_idx.astype(jnp.uint32),
-            b.astype(jnp.uint32), slot, pix, smp, zu, zu,
+            active.astype(jnp.uint32), hit_idx_n.astype(jnp.uint32),
+            b_n.astype(jnp.uint32), slot, pix, smp, zu, zu,
         ])
         cnt_n = jnp.stack([next_sample, done, it + 1, jnp.int32(0)])
         return (fst_n, ust_n, accum, cnt_n, n_rays)

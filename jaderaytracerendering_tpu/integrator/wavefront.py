@@ -314,12 +314,72 @@ def resolve_tail(xp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
     return dir_out, rate_out, new_src, accept, killed_out
 
 
+import typing as _t
+
+
+class TailInputs(_t.NamedTuple):
+    """Everything the post-trace resolve consumes, pre-resolution.
+
+    ``bounce_step(tail_fn=...)`` hands this to the caller so the pool
+    engine can run the WHOLE tail (resolve + throughput accumulation +
+    state update) as one Pallas kernel (ops/pallas/bounce_resolve) —
+    the kernel calls the same resolve_tail below, so there is still a
+    single resolve implementation with two lowerings."""
+
+    ldirs: list          # per-light V3
+    l_oks: list          # per-light visibility masks
+    l_norms: list        # per-light V3 scalars
+    l_emises: list
+    l_areas: list
+    sky: V3
+    sky_c: V3
+    hdir: V3
+    cdir_u: V3
+    nee_norm: V3
+    exit_norm: V3
+    bss: V3
+    fr: V3
+    fr_alb: V3
+    emissive: V3
+    c_obj_em: V3
+    cont_src: V3
+    ref_rate: V3
+    r0_sss: _t.Any
+    total_area: _t.Any
+    k: _t.Any
+    u_rr: _t.Any
+    c_t: _t.Any
+    sss_entry: _t.Any
+    sss_exit: _t.Any
+    is_mirror: _t.Any
+    is_dirref: _t.Any
+    alive: _t.Any
+    active: _t.Any
+    emit_break: _t.Any
+    killed: _t.Any
+    needs_nee: _t.Any
+    c_hit: _t.Any
+    h_hit: _t.Any
+    ref_escaped: _t.Any
+    c_idx: _t.Any
+    crow_t: _t.Any       # [16, M] continuation-hit rows
+    c_mrow_t: _t.Any
+    ray_src: V3          # pre-bounce state (for non-accept lanes)
+    out_dir: V3
+    hit_idx: _t.Any
+
+
 def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
-                rows=None, want_rows=False):
+                rows=None, want_rows=False, tail_fn=None):
     """One masked megakernel bounce on SoA planes.
 
     ``state`` = (active [M], ray_src V3, out_dir V3, hit_idx [M] i32,
     killed [M]). Returns (state, (dir_b V3, rate_b V3)).
+
+    ``tail_fn``: when given, the pre-resolved TailInputs are passed to it
+    and its result is returned verbatim (the pool engine resolves +
+    accumulates in one Pallas kernel); when None the XLA resolve_tail
+    runs here (scan engine, NumPy oracle backend).
 
     ``rows=(trow_t, mrow_t)`` supplies the TRANSPOSED [16, M] per-lane
     triangle/material rows for ``where(active, hit_idx, 0)`` precomputed
@@ -551,6 +611,16 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
         l_gates[i] & l_hits[i] & (l_idxs[i] == sd.emit_idx[i])
         for i in range(e_cnt)
     ]
+
+    if tail_fn is not None:
+        return tail_fn(TailInputs(
+            ldirs, l_oks, l_norms, l_emises, l_areas, sky, sky_c, hdir,
+            cdir_u, nee_norm, exit_norm, bss, fr, fr_alb, emissive,
+            c_obj_em, cont_src, ref_rate, r0_sss, total_area, k, u_rr, c_t,
+            sss_entry, sss_exit, is_mirror, is_dirref, alive, active,
+            emit_break, killed, needs_nee, c_hit, h_hit, ref_escaped,
+            c_idx, crow_t, c_mrow_t, ray_src, out_dir, hit_idx,
+        ))
 
     dir_out, rate_out, new_src, accept, killed = resolve_tail(
         xp, e_cnt, sd.has_sss, sd.has_refract, cfg.rr_rate, cfg.sss_rate,

@@ -50,6 +50,13 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
                   anyhit_tiles: tuple = (0, 0),
                   debug_variant: str = "full"):
     tm = f_ref.shape[1]
+    if debug_variant == "stub":
+        # perf ablation floor: consume the inputs, write miss outputs —
+        # measures per-grid-step + XLA-tail cost with ALL kernel work
+        # removed (in-kernel so XLA cannot DCE the downstream shading)
+        bt_ref[:] = f_ref[0:1] * 0.0 + INF
+        bi_ref[:] = ex_ref[:] * 0
+        return
     # transposed lane-dense inputs: [16, TM] features / [1, TM] exclusion
     # (a [Mp, 10] buffer pads 10 lanes to 128 = 33 MB at batch size);
     # one in-kernel relayout each, then the math is row-major as before

@@ -46,6 +46,10 @@ class RenderConfig:
     # (~1.1 ms/iter: cumsum + camera + trace + env/rows), which measured
     # EXACTLY offsetting today (wall flat, docs/PERF.md round 3). Keep 1
     # until the spawn chain gets cheaper; the lever is real.
+    fused_tail: bool = True           # pool: run the post-trace bounce tail
+    # (resolve + accumulate + state pack) as ONE Pallas kernel
+    # (ops/pallas/bounce_resolve) instead of ~40 XLA fusions. Requires
+    # n_emit <= 19 (per-light mask bit-pack); falls back automatically.
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
     # make_nearest asserts it covers the built tree's depth + 1

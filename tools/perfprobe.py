@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--pool-m", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
+    ap.add_argument("--variant", default="full",
+                    help="fused-kernel _debug_variant ablation: full | "
+                         "slab_only | capN (see cluster_sweep_fused)")
+    ap.add_argument("--spawn-rounds", type=int, default=1)
+    ap.add_argument("--no-fused-tail", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -49,13 +54,24 @@ def main():
     from jaderaytracerendering_tpu.scene.scene import assemble
     from jaderaytracerendering_tpu.utils.config import RenderConfig
 
+    if args.variant != "full":
+        import functools as _ft
+
+        from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
+
+        _orig = cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp
+        cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp = _ft.partial(
+            _orig, _debug_variant=args.variant)
+
     ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
     ds.camera.r = 2.2
     ds.camera.up_angle = 10.0
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
     cfg = RenderConfig(width=256, height=256, spp=16, spp_batch=4,
                        max_depth=args.depth, traversal=args.traversal,
-                       engine="pool", rays_per_launch=args.pool_m)
+                       engine="pool", rays_per_launch=args.pool_m,
+                       spawn_rounds=args.spawn_rounds,
+                       fused_tail=not args.no_fused_tail)
     eye = jnp.asarray(ds.camera.eye, jnp.float32)
     rot = jnp.asarray(ds.camera.camera_rotate, jnp.float32)
     npix = cfg.width * cfg.height
