@@ -43,7 +43,7 @@ from ..ops import scanops
 from ..scene import envmap, scene as scene_mod
 from ..utils.config import RenderConfig
 from . import render as render_mod, wavefront
-from .wavefront import _mat_rows_t, _nearest_planes, _tri_rows_t, _unit_p
+from .wavefront import _nearest_planes, _tri_mat_rows_t, _unit_p
 
 
 def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
@@ -60,8 +60,8 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     # loop-invariant "empty lane" rows (triangle 0): carried rows of
     # inactive lanes must equal what a fresh where(active, hit_idx, 0)
     # gather would produce. [16, 1] columns broadcast against [16, M].
-    trow0 = sd.tri_table[0][:, None]
-    mrow0 = sd.mat_table[trow0[scene_mod.TRI_OBJ, 0].astype(jnp.int32)][:, None]
+    trow0 = sd.tri_mat_table[0][:16, None]
+    mrow0 = sd.tri_mat_table[0][16:, None]
 
     def spawn(fresh, next_sample, slot, pix, smp):
         """Assign queue samples to fresh lanes -> updated ids + masks."""
@@ -149,7 +149,7 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
                                  slot.astype(jnp.int32), t.hit_idx,
                                  zi, zi, zi])
                 return bounce_resolve.resolve_bounce(
-                    fst, p1, ld, aux, t.crow_t, t.c_mrow_t, lights,
+                    fst, p1, ld, aux, t.crows_t, lights,
                     sd.n_emit, sd.has_sss, sd.has_refract, cfg.rr_rate,
                     cfg.sss_rate, cfg.max_depth, npix, interpret=interp)
 
@@ -215,9 +215,8 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
             o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
             d_u = _unit_p(d, jnp)
             sky = envmap.sample_env_sd_p(sd, d_u, jnp, clamp=cfg.hdr_clamp)
-            row0 = _tri_rows_t(sd, jnp.where(p_hit, p_idx, 0), jnp)
-            p_mrow = _mat_rows_t(
-                sd, row0[scene_mod.TRI_OBJ].astype(jnp.int32), jnp)
+            row0, p_mrow = _tri_mat_rows_t(sd, jnp.where(p_hit, p_idx, 0),
+                                           jnp)
             miss = got & ~p_hit
             st_r = got & p_hit
             miss_ids.append(jnp.where(miss, slot, npix))

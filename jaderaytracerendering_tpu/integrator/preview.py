@@ -24,7 +24,7 @@ from ..core.vecmath import V3, vdot, vwhere
 from ..scene import envmap
 from . import sampling
 from .sampling import PI
-from .wavefront import _mat_rows_t, _nearest_planes, _tri_rows_t, _unit_p
+from .wavefront import _nearest_planes, _tri_mat_rows_t, _unit_p
 
 S = rng.DrawSites
 
@@ -38,8 +38,8 @@ def trace_preview_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
     hit0, idx0, t0 = _nearest_planes(nearest_fn, origins, d_unit, ex0, xp)
     sky0 = envmap.sample_env_sd_p(sd, d_unit, xp, clamp=cfg.hdr_clamp)
 
-    row0 = _tri_rows_t(sd, xp.where(hit0, idx0, 0), xp)
-    le0 = vm.v3rows(_mat_rows_t(sd, row0[12].astype(xp.int32), xp), 0)
+    row0, mrow0 = _tri_mat_rows_t(sd, xp.where(hit0, idx0, 0), xp)
+    le0 = vm.v3rows(mrow0, 0)
 
     zero = xp.zeros((m,), xp.float32)
     one = xp.ones((m,), xp.float32)
@@ -51,10 +51,9 @@ def trace_preview_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
     tri = xp.where(hit0, idx0, 0)
 
     for b in range(max_bounce):
-        trow = _tri_rows_t(sd, tri, xp)
+        trow, mrow = _tri_mat_rows_t(sd, tri, xp)
         normal = vm.v3rows(trow, 9)                     # TRI_NORM
-        obj = trow[12].astype(xp.int32)                 # TRI_OBJ
-        brdf = vm.v3rows(_mat_rows_t(sd, obj, xp), 3)   # MAT_BRDF
+        brdf = vm.v3rows(mrow, 3)                       # MAT_BRDF
         u1 = rng.uniform(xp, pixel_id, sample_id, b + 1, S.CONT_COS, cfg.seed)
         u2 = rng.uniform(xp, pixel_id, sample_id, b + 1, S.CONT_PHI, cfg.seed)
         wi = sampling.uniform_sphere_p(u1, u2, xp)
@@ -65,9 +64,8 @@ def trace_preview_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
 
         hit, idx, t = _nearest_planes(
             nearest_fn, point, wi, xp.where(active, tri, -2), xp)
-        nrow = _tri_rows_t(sd, xp.where(hit, idx, 0), xp)
-        n_emis = vm.v3rows(
-            _mat_rows_t(sd, nrow[12].astype(xp.int32), xp), 0)
+        _, nmrow = _tri_mat_rows_t(sd, xp.where(hit, idx, 0), xp)
+        n_emis = vm.v3rows(nmrow, 0)
         cos_i = xp.abs(vdot(wi, normal))
         f_r = brdf * (1.0 / PI)
         weight = f_r * cos_i * (2.0 * PI)  # / pdf = * 2pi

@@ -92,6 +92,15 @@ def _tri_rows_t(sd, idx, xp):
     return xp.transpose(sd.tri_table[idx])
 
 
+def _tri_mat_rows_t(sd, idx, xp):
+    """Combined transposed rows: ONE [T, 32] wide-row gather ->
+    (trow_t [16, M], mrow_t [16, M]). Replaces a tri gather + a material
+    one-hot matmul pair (two launches) per fetch site; row width is
+    ~free on TPU gathers (docs/PERF.md)."""
+    both = xp.transpose(sd.tri_mat_table[idx])
+    return both[:16], both[16:]
+
+
 def _mat_rows_t(sd, obj, xp):
     """Transposed per-object material rows [16, M] via one-hot matmul.
 
@@ -161,10 +170,9 @@ def _refract_march(alive_ref, tri, miu, normal: V3, ray_src: V3, out_dir: V3,
         step_ok = live & hit
         rdir_u = _unit_p(rdir, xp)
         hp = src + rdir_u * t
-        irow = _tri_rows_t(sd, idx, xp)
+        irow, rate_row = _tri_mat_rows_t(sd, idx, xp)
         n_i = vm.v3rows(irow, 9)                       # TRI_NORM
         new_rdir, full_reflex = sampling.refract_dir_p(rdir_u, n_i, miu, xp)
-        rate_row = _mat_rows_t(sd, irow[12].astype(xp.int32), xp)
         rr8 = vm.v3rows(rate_row, 8)                   # MAT_REFRACT_RATE
         absorb = V3(rr8.x ** t, rr8.y ** t, rr8.z ** t)
         rate = vwhere(step_ok, rate * absorb, rate, xp)
@@ -362,11 +370,267 @@ class TailInputs(_t.NamedTuple):
     h_hit: _t.Any
     ref_escaped: _t.Any
     c_idx: _t.Any
-    crow_t: _t.Any       # [16, M] continuation-hit rows
-    c_mrow_t: _t.Any
+    crows_t: _t.Any      # [32, M] continuation-hit tri++mat rows (one
+    #                      combined gather; rows 0-15 tri, 16-31 mat)
     ray_src: V3          # pre-bounce state (for non-accept lanes)
     out_dir: V3
     hit_idx: _t.Any
+
+
+class FrontPre(_t.NamedTuple):
+    """XLA-only precomputes for bounce_front: everything the front needs
+    that is NOT pure elementwise math — RNG (one fused chain), the SSS
+    exit pick + its row gathers, and the sequential refract march. The
+    elementwise remainder (bounce_front) can then run either in XLA or
+    inside a Pallas kernel on row refs."""
+
+    us: _t.Any           # [10 + 2E, M] batched per-site RNG rows
+    erows_t: _t.Any      # [32, M] exit tri++mat rows (None unless has_sss)
+    exit_tri: _t.Any     # [M] i32 (None unless has_sss)
+    total_area: _t.Any   # [M] f32 (None unless has_sss)
+    refr: _t.Any         # _refract_march outputs (None unless has_refract)
+
+
+class FrontOut(_t.NamedTuple):
+    """bounce_front results: masks + shading values + ray-batch pieces."""
+
+    alive: _t.Any
+    emit_break: _t.Any
+    needs_nee: _t.Any
+    sss_entry: _t.Any
+    sss_exit: _t.Any
+    is_mirror: _t.Any
+    is_dirref: _t.Any
+    ref_escaped: _t.Any
+    k: _t.Any
+    u_rr: _t.Any
+    fr: V3
+    fr_alb: V3
+    emissive: V3
+    bss: V3
+    r0_sss: _t.Any
+    total_area: _t.Any
+    nee_norm: V3
+    exit_norm: V3
+    nee_src: V3
+    cont_src: V3
+    hdir: V3
+    cdir: V3
+    nee_excl: _t.Any
+    cont_excl: _t.Any
+    ldirs: list
+    l_gates: list
+    ref_rate: V3
+
+
+def _branch_masks(active, u_sel, u_sss, refract_mode, reflex_mode, cfg,
+                  emissive, xp):
+    """Shared branch selection (PathTrace.cu:923-931): one implementation
+    used by bounce_front and front_precompute (the march needs is_dirref
+    before the front runs)."""
+    emit_break = active & ((emissive.x > EMIT_BREAK_EPS)
+                           | (emissive.y > EMIT_BREAK_EPS)
+                           | (emissive.z > EMIT_BREAK_EPS))
+    alive = active & ~emit_break
+    take_refract = alive & (u_sel < 0.5) & (refract_mode != 0)
+    is_sss = take_refract & (refract_mode == 1)
+    sss_entry = is_sss & (u_sss < cfg.sss_rate)
+    sss_exit = is_sss & ~(u_sss < cfg.sss_rate)
+    is_dirref = take_refract & (refract_mode == 2)
+    is_diffuse = alive & ~take_refract & (reflex_mode == 0)
+    is_mirror = alive & ~take_refract & (reflex_mode == 1)
+    return (emit_break, alive, take_refract, sss_entry, sss_exit,
+            is_dirref, is_diffuse, is_mirror)
+
+
+def front_precompute(state, b, pixel_id, sample_id, tri, trow_t, mrow_t,
+                     sd, cfg, xp, nearest_fn):
+    """Compute FrontPre (RNG batch, SSS pick + gathers, refract march)."""
+    active, ray_src, out_dir, hit_idx, killed = state
+    e_cnt = sd.n_emit
+
+    # ---- all RNG draws for this bounce in ONE [S, M] computation ----
+    # The (pixel, sample) base hash is site-independent, so batching the
+    # per-site mixes over a broadcast site axis yields bit-identical
+    # streams while collapsing ~12 separate elementwise launch chains
+    # (at ~30us each on the axon runtime) into one. Site axis on
+    # sublanes so per-site reads are dense [M] rows.
+    base_sites = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
+                  S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
+                  S.RR]
+    site_vals = np.asarray(
+        base_sites
+        + [S.LIGHT_BASE + 2 * i for i in range(e_cnt)]
+        + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)],
+        np.uint32,
+    )
+    def _rowb(a):  # [M] -> [1, M]; scalars broadcast as-is
+        return a[None, :] if getattr(a, "ndim", 0) == 1 else a
+
+    us = rng.uniform(xp, _rowb(pixel_id), _rowb(sample_id), _rowb(b) + 1,
+                     xp.asarray(site_vals)[:, None], cfg.seed)
+
+    erows_t = exit_tri = total_area = refr = None
+    if sd.has_sss:
+        import math
+
+        obj = trow_t[12].astype(xp.int32)           # TRI_OBJ
+        n_bisect = max(2, int(math.ceil(math.log2(max(sd.n_triangles, 2)))) + 1)
+        if sd.sss_nb:
+            # exact table-driven pick: 2 wide gathers instead of ~16
+            # sequential scalar ones (see sampling.build_area_cdf_tables)
+            exit_tri = sampling.area_cdf_pick_fast_p(us[2], obj, sd, xp)
+        else:
+            exit_tri = sampling.area_cdf_pick(
+                us[2], obj, sd.prefix_area, sd.obj_total_area,
+                sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
+            )
+        # the pick is gated on sss_exit — recompute that mask here (the
+        # front recomputes it identically; both are one fused compare)
+        emissive = vm.v3rows(mrow_t, 0)
+        _, _, _, _, sss_exit, _, _, _ = _branch_masks(
+            active, us[0], us[1], mrow_t[7].astype(xp.int32),
+            mrow_t[6].astype(xp.int32), cfg, emissive, xp)
+        exit_tri = xp.where(sss_exit, exit_tri, 0)
+        both = xp.transpose(sd.tri_mat_table[exit_tri])
+        erows_t = both
+        total_area = sd.obj_total_area[both[12].astype(xp.int32)]
+
+    if sd.has_refract:
+        emissive = vm.v3rows(mrow_t, 0)
+        _, _, _, _, _, is_dirref, _, _ = _branch_masks(
+            active, us[0], us[1], mrow_t[7].astype(xp.int32),
+            mrow_t[6].astype(xp.int32), cfg, emissive, xp)
+
+        def u_site(site):
+            return rng.uniform(xp, pixel_id, sample_id, b + 1, site,
+                               cfg.seed)
+
+        normal = vm.v3rows(trow_t, 9)
+        refr = _refract_march(
+            is_dirref, tri, mrow_t[14], normal, ray_src,
+            out_dir, sd, cfg, xp, nearest_fn, u_site,
+        )
+
+    return FrontPre(us, erows_t, exit_tri, total_area, refr)
+
+
+def bounce_front(active, ray_src, out_dir, tri, trow_t, mrow_t,
+                 pre: FrontPre, light_pts, e_cnt, has_sss, has_refract,
+                 cfg, xp) -> FrontOut:
+    """The bounce's pre-trace ELEMENTWISE computation: branch selection,
+    SSS exit shading values, direction sampling, light-point NEE
+    directions. Pure function of its inputs (all per-lane planes or
+    broadcastable scalars) — THE single implementation, run in XLA by
+    the scan engine and inside the Pallas front kernel by the pool
+    engine (same dual-lowering pattern as resolve_tail).
+
+    ``light_pts``: list of (p1 V3, p2 V3, p3 V3) broadcastable scalar
+    triples per emissive triangle."""
+    us = pre.us
+    m = ray_src.x.shape[-1]
+    normal = vm.v3rows(trow_t, 9)                   # TRI_NORM
+    emissive = vm.v3rows(mrow_t, 0)                 # MAT_EMISSIVE
+    brdf = vm.v3rows(mrow_t, 3)                     # MAT_BRDF
+    refract_mode = mrow_t[7].astype(xp.int32)       # MAT_REFRACT_MODE
+    reflex_mode = mrow_t[6].astype(xp.int32)        # MAT_REFLEX
+
+    # ---- branch selection (PathTrace.cu:923-925, 930-931) ----
+    (emit_break, alive, take_refract, sss_entry, sss_exit, is_dirref,
+     is_diffuse, is_mirror) = _branch_masks(
+        active, us[0], us[1], refract_mode, reflex_mode, cfg, emissive, xp)
+    k = xp.where(refract_mode != 0, 2.0, 1.0)
+
+    fr = brdf * (1.0 / PI)
+    fr_alb = vm.v3rows(mrow_t, 11) * (1.0 / PI)     # MAT_REFRACT_ALBEDO
+
+    # ---- SSS exit point (PathTrace.cu:1029-1070) ----
+    if has_sss:
+        erow_t = pre.erows_t
+        exit_tri = pre.exit_tri
+        exit_point = sampling.triangle_point_p(
+            vm.v3rows(erow_t, 0), vm.v3rows(erow_t, 3), vm.v3rows(erow_t, 6),
+            us[3], us[4], xp,
+        )
+        exit_norm = vm.v3rows(erow_t, 9)
+        inner_dir = exit_point - ray_src
+        inner_dist = vm.vnorm(inner_dir, xp)
+        sigma = vm.v3rows(erow_t, 16 + 8)           # MAT_REFRACT_RATE
+        r0_sss = sampling.schlick_r0(mrow_t[14])    # MAT_REFRACT_INDEX
+        fres_i = sampling.fresnel_entry(
+            r0_sss, xp.abs(vdot(normal, out_dir))
+        )
+        bss = sampling.bssrdf_p(xp.maximum(inner_dist, 1e-12), sigma, xp) \
+            * fres_i
+        total_area = pre.total_area
+    else:
+        exit_tri = xp.zeros_like(tri)
+        exit_point = ray_src
+        exit_norm = normal
+        inner_dir = out_dir
+        bss = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
+                 xp.zeros_like(ray_src.x))
+        r0_sss = xp.zeros_like(ray_src.x)
+        total_area = xp.ones_like(ray_src.x)
+
+    # NEE origin/normal/exclusion: exit lanes shade from the exit point
+    nee_src = vwhere(sss_exit, exit_point, ray_src, xp)
+    nee_norm = vwhere(sss_exit, exit_norm, normal, xp)
+    nee_excl = xp.where(sss_exit, exit_tri.astype(tri.dtype), tri)
+
+    # ---- direct-refraction march results (precomputed; static gate) ----
+    if has_refract:
+        ref_dir, ref_rate, ref_escaped, ref_last, ref_src = pre.refr
+    else:
+        ref_dir = out_dir
+        ref_rate = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
+                      xp.zeros_like(ray_src.x))
+        ref_escaped = xp.zeros_like(active)
+        ref_last = tri
+        ref_src = ray_src
+
+    # ---- shadow/continuation directions ----
+    # HDR NEE direction (PathTrace.cu:968-974 / 1111-1117)
+    hdir_raw = sampling.uniform_sphere_p(us[5], us[6], xp)
+    hdir_entry = sampling.fold_same_hemisphere_p(hdir_raw, normal, out_dir, xp)
+    hdir_exit = sampling.fold_same_hemisphere_p(hdir_raw, exit_norm, inner_dir,
+                                                xp)
+    hdir = vwhere(sss_exit, hdir_exit, hdir_entry, xp)
+
+    # continuation direction
+    cdir_raw = sampling.uniform_sphere_p(us[7], us[8], xp)
+    cdir_entry = sampling.fold_same_hemisphere_p(cdir_raw, normal, out_dir, xp)
+    cdir_exit = sampling.fold_opposite_hemisphere_p(cdir_raw, exit_norm,
+                                                    inner_dir, xp)
+    cdir_mirror = normal * (2.0 * vdot(out_dir, normal)) - out_dir  # cu:1378
+    cdir = vwhere(sss_exit, cdir_exit, cdir_entry, xp)
+    cdir = vwhere(is_mirror, cdir_mirror, cdir, xp)
+    if has_refract:
+        cdir = vwhere(is_dirref, ref_dir, cdir, xp)
+    cont_src = vwhere(is_dirref, ref_src, nee_src, xp)
+    cont_excl = xp.where(is_dirref, ref_last.astype(tri.dtype), nee_excl)
+
+    needs_nee = is_diffuse | sss_entry | sss_exit
+    ldirs = []
+    l_gates = []
+    dot_on = vdot(out_dir, normal)
+    for i in range(e_cnt):
+        lp1, lp2, lp3 = light_pts[i]
+        lpoint = sampling.triangle_point_p(
+            lp1, lp2, lp3, us[10 + i], us[10 + e_cnt + i], xp,
+        )
+        ldir = lpoint - nee_src
+        # entry-type hemisphere gate (PathTrace.cu:950-952); exit has none
+        same_hemi = vdot(ldir, nee_norm) * dot_on >= 0
+        ldirs.append(ldir)
+        l_gates.append(needs_nee & (same_hemi | sss_exit))
+
+    return FrontOut(
+        alive, emit_break, needs_nee, sss_entry, sss_exit, is_mirror,
+        is_dirref, ref_escaped, k, us[9], fr, fr_alb, emissive, bss,
+        r0_sss, total_area, nee_norm, exit_norm, nee_src, cont_src, hdir,
+        cdir, nee_excl, cont_excl, ldirs, l_gates, ref_rate,
+    )
 
 
 def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
@@ -392,170 +656,27 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     m = ray_src.x.shape[0]
     e_cnt = sd.n_emit
 
-    # ---- all RNG draws for this bounce in ONE [S, M] computation ----
-    # The (pixel, sample) base hash is site-independent, so batching the
-    # per-site mixes over a broadcast site axis yields bit-identical
-    # streams while collapsing ~12 separate elementwise launch chains
-    # (at ~30us each on the axon runtime) into one. Site axis on
-    # sublanes so per-site reads are dense [M] rows.
-    base_sites = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
-                  S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
-                  S.RR]
-    col = {site: i for i, site in enumerate(base_sites)}
-    site_vals = np.asarray(
-        base_sites
-        + [S.LIGHT_BASE + 2 * i for i in range(e_cnt)]
-        + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)],
-        np.uint32,
-    )
-    def _row(a):  # [M] -> [1, M]; scalars broadcast as-is
-        return a[None, :] if getattr(a, "ndim", 0) == 1 else a
-
-    us = rng.uniform(xp, _row(pixel_id), _row(sample_id), _row(b) + 1,
-                     xp.asarray(site_vals)[:, None], cfg.seed)
-
-    def u(site):
-        if site in col:
-            return us[col[site]]
-        return rng.uniform(xp, pixel_id, sample_id, b + 1, site, cfg.seed)
-
     tri = xp.where(active, hit_idx, 0)
     if rows is None:
-        trow_t = _tri_rows_t(sd, tri, xp)
-        mrow_t = _mat_rows_t(sd, trow_t[12].astype(xp.int32), xp)
+        trow_t, mrow_t = _tri_mat_rows_t(sd, tri, xp)
     else:
         trow_t, mrow_t = rows
-    normal = vm.v3rows(trow_t, 9)                   # TRI_NORM
-    obj = trow_t[12].astype(xp.int32)               # TRI_OBJ
-    emissive = vm.v3rows(mrow_t, 0)                 # MAT_EMISSIVE
-    brdf = vm.v3rows(mrow_t, 3)                     # MAT_BRDF
-    refract_mode = mrow_t[7].astype(xp.int32)       # MAT_REFRACT_MODE
-    reflex_mode = mrow_t[6].astype(xp.int32)        # MAT_REFLEX
 
-    emit_break = active & ((emissive.x > EMIT_BREAK_EPS)
-                           | (emissive.y > EMIT_BREAK_EPS)
-                           | (emissive.z > EMIT_BREAK_EPS))
-    alive = active & ~emit_break
+    pre = front_precompute(state, b, pixel_id, sample_id, tri, trow_t,
+                           mrow_t, sd, cfg, xp, nearest_fn)
+    lpt = lambda tbl, i: V3(tbl[i, 0], tbl[i, 1], tbl[i, 2])
+    light_pts = [(lpt(sd.light_p1, i), lpt(sd.light_p2, i),
+                  lpt(sd.light_p3, i)) for i in range(e_cnt)]
+    f = bounce_front(active, ray_src, out_dir, tri, trow_t, mrow_t, pre,
+                     light_pts, e_cnt, sd.has_sss, sd.has_refract, cfg, xp)
+    (alive, emit_break, needs_nee, sss_entry, sss_exit, is_mirror,
+     is_dirref, ref_escaped, k, u_rr, fr, fr_alb, emissive, bss, r0_sss,
+     total_area, nee_norm, exit_norm, nee_src, cont_src, hdir, cdir,
+     nee_excl, cont_excl, ldirs, l_gates, ref_rate) = f
 
-    # ---- branch selection (PathTrace.cu:923-925, 930-931) ----
-    k = xp.where(refract_mode != 0, 2.0, 1.0)
-    u_sel = u(S.SELECT_REFRACT)
-    take_refract = alive & (u_sel < 0.5) & (refract_mode != 0)
-    is_sss = take_refract & (refract_mode == 1)
-    u_sss = u(S.SELECT_SSS)
-    sss_entry = is_sss & (u_sss < cfg.sss_rate)
-    sss_exit = is_sss & ~(u_sss < cfg.sss_rate)
-    is_dirref = take_refract & (refract_mode == 2)
-    is_diffuse = alive & ~take_refract & (reflex_mode == 0)
-    is_mirror = alive & ~take_refract & (reflex_mode == 1)
-
-    fr = brdf * (1.0 / PI)
-    fr_alb = vm.v3rows(mrow_t, 11) * (1.0 / PI)     # MAT_REFRACT_ALBEDO
-
-    # ---- SSS exit point (PathTrace.cu:1029-1070) ----
-    if sd.has_sss:
-        import math
-
-        n_bisect = max(2, int(math.ceil(math.log2(max(sd.n_triangles, 2)))) + 1)
-        if sd.sss_nb:
-            # exact table-driven pick: 2 wide gathers instead of ~16
-            # sequential scalar ones (see sampling.build_area_cdf_tables)
-            exit_tri = sampling.area_cdf_pick_fast_p(u(S.AREA_CDF), obj, sd, xp)
-        else:
-            exit_tri = sampling.area_cdf_pick(
-                u(S.AREA_CDF), obj, sd.prefix_area, sd.obj_total_area,
-                sd.seg_begin, sd.seg_end, sd.mapping, xp, n_iters=n_bisect,
-            )
-        exit_tri = xp.where(sss_exit, exit_tri, 0)
-        erow_t = _tri_rows_t(sd, exit_tri, xp)
-        exit_point = sampling.triangle_point_p(
-            vm.v3rows(erow_t, 0), vm.v3rows(erow_t, 3), vm.v3rows(erow_t, 6),
-            u(S.EXIT_U), u(S.EXIT_V), xp,
-        )
-        exit_norm = vm.v3rows(erow_t, 9)
-        exit_obj = erow_t[12].astype(xp.int32)
-        emrow_t = _mat_rows_t(sd, exit_obj, xp)
-        inner_dir = exit_point - ray_src
-        inner_dist = vm.vnorm(inner_dir, xp)
-        sigma = vm.v3rows(emrow_t, 8)               # MAT_REFRACT_RATE
-        r0_sss = sampling.schlick_r0(mrow_t[14])    # MAT_REFRACT_INDEX
-        fres_i = sampling.fresnel_entry(
-            r0_sss, xp.abs(vdot(normal, out_dir))
-        )
-        bss = sampling.bssrdf_p(xp.maximum(inner_dist, 1e-12), sigma, xp) \
-            * fres_i
-        total_area = sd.obj_total_area[exit_obj]
-    else:
-        exit_tri = xp.zeros_like(tri)
-        exit_point = ray_src
-        exit_norm = normal
-        inner_dir = out_dir
-        bss = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
-                 xp.zeros_like(ray_src.x))
-        r0_sss = xp.zeros((m,), ray_src.x.dtype)
-        total_area = xp.ones((m,), ray_src.x.dtype)
-
-    # NEE origin/normal/exclusion: exit lanes shade from the exit point
-    nee_src = vwhere(sss_exit, exit_point, ray_src, xp)
-    nee_norm = vwhere(sss_exit, exit_norm, normal, xp)
-    nee_excl = xp.where(sss_exit, exit_tri.astype(tri.dtype), tri)
-
-    # ---- direct-refraction march (static gate) ----
-    if sd.has_refract:
-        ref_dir, ref_rate, ref_escaped, ref_last, ref_src = _refract_march(
-            is_dirref, tri, mrow_t[14], normal, ray_src,
-            out_dir, sd, cfg, xp, nearest_fn, u,
-        )
-    else:
-        ref_dir = out_dir
-        ref_rate = V3(xp.zeros_like(ray_src.x), xp.zeros_like(ray_src.x),
-                      xp.zeros_like(ray_src.x))
-        ref_escaped = xp.zeros(m, bool)
-        ref_last = tri
-        ref_src = ray_src
-
-    # ---- build the combined shadow/continuation ray batch ----
-    # HDR NEE direction (PathTrace.cu:968-974 / 1111-1117)
-    hdir_raw = sampling.uniform_sphere_p(u(S.HDR_COS), u(S.HDR_PHI), xp)
-    hdir_entry = sampling.fold_same_hemisphere_p(hdir_raw, normal, out_dir, xp)
-    hdir_exit = sampling.fold_same_hemisphere_p(hdir_raw, exit_norm, inner_dir,
-                                                xp)
-    hdir = vwhere(sss_exit, hdir_exit, hdir_entry, xp)
-
-    # continuation direction
-    cdir_raw = sampling.uniform_sphere_p(u(S.CONT_COS), u(S.CONT_PHI), xp)
-    cdir_entry = sampling.fold_same_hemisphere_p(cdir_raw, normal, out_dir, xp)
-    cdir_exit = sampling.fold_opposite_hemisphere_p(cdir_raw, exit_norm,
-                                                    inner_dir, xp)
-    cdir_mirror = normal * (2.0 * vdot(out_dir, normal)) - out_dir  # cu:1378
-    cdir = vwhere(sss_exit, cdir_exit, cdir_entry, xp)
-    cdir = vwhere(is_mirror, cdir_mirror, cdir, xp)
-    if sd.has_refract:
-        cdir = vwhere(is_dirref, ref_dir, cdir, xp)
-    cont_src = vwhere(is_dirref, ref_src, nee_src, xp)
-    cont_excl = xp.where(is_dirref, ref_last.astype(tri.dtype), nee_excl)
-
-    needs_nee = is_diffuse | sss_entry | sss_exit
-    ldirs = []
-    l_gates = []
-    dot_on = vdot(out_dir, normal)
-    l_norms, l_emises, l_areas = [], [], []
-    for i in range(e_cnt):
-        # hoisted at assemble time (scene.py): gathering per bounce
-        # re-staged these tables every while-loop iteration
-        lp = lambda tbl: V3(tbl[i, 0], tbl[i, 1], tbl[i, 2])
-        lpoint = sampling.triangle_point_p(
-            lp(sd.light_p1), lp(sd.light_p2), lp(sd.light_p3),
-            us[10 + i], us[10 + e_cnt + i], xp,
-        )
-        ldir = lpoint - nee_src
-        # entry-type hemisphere gate (PathTrace.cu:950-952); exit has none
-        same_hemi = vdot(ldir, nee_norm) * dot_on >= 0
-        ldirs.append(ldir)
-        l_gates.append(needs_nee & (same_hemi | sss_exit))
-        l_norms.append(lp(sd.light_norm))
-        l_emises.append(lp(sd.light_emis))
-        l_areas.append(sd.light_area[i])
+    l_norms = [lpt(sd.light_norm, i) for i in range(e_cnt)]
+    l_emises = [lpt(sd.light_emis, i) for i in range(e_cnt)]
+    l_areas = [sd.light_area[i] for i in range(e_cnt)]
 
     # one nearest-hit batch: [M*E light] + [M hdr] + [M continuation].
     # Dead/masked lanes get zero directions: every intersector treats a
@@ -600,9 +721,8 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
     sky = V3(env2.x[:m], env2.y[:m], env2.z[:m])
     sky_c = V3(env2.x[m:], env2.y[m:], env2.z[m:])
 
-    u_rr = u(S.RR)
-    crow_t = _tri_rows_t(sd, xp.where(c_hit, c_idx, 0), xp)
-    c_mrow_t = _mat_rows_t(sd, crow_t[12].astype(xp.int32), xp)
+    crows_t = xp.transpose(sd.tri_mat_table[xp.where(c_hit, c_idx, 0)])
+    crow_t, c_mrow_t = crows_t[:16], crows_t[16:]
     c_obj_em = vm.v3rows(c_mrow_t, 0)
 
     # per-light visibility: exact-index test against the nearest hit
@@ -619,7 +739,7 @@ def bounce_step(state, b, pixel_id, sample_id, sd, cfg, xp, nearest_fn,
             c_obj_em, cont_src, ref_rate, r0_sss, total_area, k, u_rr, c_t,
             sss_entry, sss_exit, is_mirror, is_dirref, alive, active,
             emit_break, killed, needs_nee, c_hit, h_hit, ref_escaped,
-            c_idx, crow_t, c_mrow_t, ray_src, out_dir, hit_idx,
+            c_idx, crows_t, ray_src, out_dir, hit_idx,
         ))
 
     dir_out, rate_out, new_src, accept, killed = resolve_tail(
@@ -679,8 +799,8 @@ def trace_radiance_p(origins: V3, dirs: V3, pixel_id, sample_id, sd, cfg, xp,
     ex0 = xp.full((m,), -1, xp.int32)
     hit0, idx0, t0 = _nearest_planes(nearest_fn, origins, d_unit, ex0, xp)
     sky0 = envmap.sample_env_sd_p(sd, d_unit, xp, clamp=cfg.hdr_clamp)
-    row0_t = _tri_rows_t(sd, xp.where(hit0, idx0, 0), xp)
-    le0 = vm.v3rows(_mat_rows_t(sd, row0_t[12].astype(xp.int32), xp), 0)
+    row0_t, mrow0_t = _tri_mat_rows_t(sd, xp.where(hit0, idx0, 0), xp)
+    le0 = vm.v3rows(mrow0_t, 0)
 
     state = (
         hit0,

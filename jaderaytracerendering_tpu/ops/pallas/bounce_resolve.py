@@ -16,8 +16,8 @@ Interface (all lane-dense blocks, tiled [rows, TM] over the lane grid):
   ld    [LR, M] f32 in  — per-light NEE directions (3 rows per light)
   aux   [8, M] s32 in   — 0 mask bits, 1 c_idx, 2 bounce, 3 slot,
                           4 prior hit_idx
-  crow  [16, M] f32 in  — continuation-hit triangle rows (transposed)
-  cmrow [16, M] f32 in  — continuation-hit material rows
+  crows [32, M] f32 in  — continuation-hit tri++mat rows (transposed,
+                          one combined tri_mat_table gather)
   lights [E, 8] f32 in  — (norm.xyz, emis.xyz, area, 0) per light, whole
 outputs:
   fstc  [48, M] f32 — candidate next carry (src, dir, T, L, le0, pad,
@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.vecmath import V3, v3rows, vwhere
 
 
-def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crow_ref, cmrow_ref,
+def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crows_ref,
             lights_ref, fstc_ref, meta_ref, scat_ref, *, e_cnt: int,
             has_sss: bool, has_refract: bool, rr_rate: float,
             sss_rate: float, max_depth: int, npix: int):
@@ -115,7 +115,7 @@ def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crow_ref, cmrow_ref,
         t_put.x, t_put.y, t_put.z,
         l_acc.x, l_acc.y, l_acc.z,
         le0.x, le0.y, le0.z, zrow,
-        crow_ref[:], cmrow_ref[:],
+        crows_ref[:],
     ])
     zi = jnp.zeros((1, tm), jnp.int32)
     meta_ref[:] = jnp.concatenate([
@@ -130,7 +130,7 @@ def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crow_ref, cmrow_ref,
 @functools.partial(jax.jit, static_argnames=(
     "e_cnt", "has_sss", "has_refract", "rr_rate", "sss_rate", "max_depth",
     "npix", "tile_m", "interpret"))
-def resolve_bounce(fst, p1, ld, aux, crow, cmrow, lights, e_cnt, has_sss,
+def resolve_bounce(fst, p1, ld, aux, crows, lights, e_cnt, has_sss,
                    has_refract, rr_rate, sss_rate, max_depth, npix,
                    tile_m=256, interpret=False):
     m = fst.shape[1]
@@ -140,8 +140,8 @@ def resolve_bounce(fst, p1, ld, aux, crow, cmrow, lights, e_cnt, has_sss,
         # (the drop row), contrib=0 — inert through the whole epilogue
         zf = lambda a: jnp.concatenate(
             [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
-        fst, p1, ld, aux, crow, cmrow = (
-            zf(fst), zf(p1), zf(ld), zf(aux), zf(crow), zf(cmrow))
+        fst, p1, ld, aux, crows = (
+            zf(fst), zf(p1), zf(ld), zf(aux), zf(crows))
     mp = m + pad
     lr = ld.shape[0]
     kern = functools.partial(
@@ -153,8 +153,8 @@ def resolve_bounce(fst, p1, ld, aux, crow, cmrow, lights, e_cnt, has_sss,
     fstc, meta, scat = pl.pallas_call(
         kern,
         grid=(mp // tile_m,),
-        in_specs=[lane(48), lane(48), lane(lr), lane(8), lane(16),
-                  lane(16), pl.BlockSpec(memory_space=pltpu.VMEM)],
+        in_specs=[lane(48), lane(48), lane(lr), lane(8), lane(32),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[lane(48), lane(8), lane(8)],
         out_shape=[
             jax.ShapeDtypeStruct((48, mp), jnp.float32),
@@ -162,7 +162,7 @@ def resolve_bounce(fst, p1, ld, aux, crow, cmrow, lights, e_cnt, has_sss,
             jax.ShapeDtypeStruct((8, mp), jnp.float32),
         ],
         interpret=interpret,
-    )(fst, p1, ld, aux, crow, cmrow, lights)
+    )(fst, p1, ld, aux, crows, lights)
     if pad:
         fstc, meta, scat = fstc[:, :m], meta[:, :m], scat[:, :m]
     return fstc, meta, scat

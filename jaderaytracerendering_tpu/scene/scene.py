@@ -130,6 +130,11 @@ class SceneData:
     # packed material table [O, 16] (see MAT_* offsets); fetched by
     # one-hot matmul — no gather at all for per-object data
     mat_table: jax.Array
+    # combined [T, 32] = tri_table row ++ mat_table[obj] row: shading
+    # fetches triangle AND material in ONE wide-row gather (row width is
+    # ~free on TPU, launch count is the currency — docs/PERF.md); the
+    # split tables above remain for engines that need only one half
+    tri_mat_table: jax.Array
     # environment
     env_map: jax.Array            # [He, We, 3] float32
     # pre-packed 2x2 bilinear rows [(He+1)*(We+1), 16] (envmap.pack_bilinear):
@@ -345,6 +350,8 @@ def assemble(
         tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
         tri_table=to(tri_table),
         mat_table=to(mat_table),
+        tri_mat_table=to(np.concatenate(
+            [tri_table, mat_table[obj_idx]], axis=1)),
         env_map=to(env_map),
         env_pack=to(envmap_mod.pack_bilinear(np.asarray(env_map, np.float32), np)),
         light_p1=to(p1[emit_idx]),

@@ -41,6 +41,8 @@ def main():
                          "slab_only | capN (see cluster_sweep_fused)")
     ap.add_argument("--spawn-rounds", type=int, default=1)
     ap.add_argument("--no-fused-tail", action="store_true")
+    ap.add_argument("--trace-tile", type=int, default=0,
+                    help="override the fused trace kernel tile_m")
     args = ap.parse_args()
 
     import jax
@@ -54,14 +56,19 @@ def main():
     from jaderaytracerendering_tpu.scene.scene import assemble
     from jaderaytracerendering_tpu.utils.config import RenderConfig
 
-    if args.variant != "full":
+    if args.variant != "full" or args.trace_tile:
         import functools as _ft
 
         from jaderaytracerendering_tpu.ops.pallas import cluster_sweep_fused
 
+        over = {}
+        if args.variant != "full":
+            over["_debug_variant"] = args.variant
+        if args.trace_tile:
+            over["tile_m"] = args.trace_tile
         _orig = cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp
         cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp = _ft.partial(
-            _orig, _debug_variant=args.variant)
+            _orig, **over)
 
     ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
     ds.camera.r = 2.2

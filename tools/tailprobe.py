@@ -71,13 +71,12 @@ def main():
         def rows_stub(sd, idx, xp):
             return jnp.zeros((16, idx.shape[0]), jnp.float32) + \
                 idx.astype(jnp.float32) * 1e-9
-        def mrows_stub(sd, obj, xp):
-            return jnp.zeros((16, obj.shape[0]), jnp.float32) + \
-                obj.astype(jnp.float32) * 1e-9
+        def both_stub(sd, idx, xp):
+            r = rows_stub(sd, idx, xp)
+            return r, r
         wavefront._tri_rows_t = rows_stub
-        wavefront._mat_rows_t = mrows_stub
-        pool._tri_rows_t = rows_stub
-        pool._mat_rows_t = mrows_stub
+        wavefront._tri_mat_rows_t = both_stub
+        pool._tri_mat_rows_t = both_stub
 
     ds = demo.jade_scene(n_buddha_tris=20_000, env_shape=(128, 256))
     ds.camera.r = 2.2
