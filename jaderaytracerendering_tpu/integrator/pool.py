@@ -130,6 +130,27 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     # bit-pack caps it at 19 lights; bigger scenes take the XLA tail
     use_fused_tail = cfg.fused_tail and sd.n_emit <= 19
     interp = jax.default_backend() == "cpu"
+    # all-Pallas bounce pipeline: front kernel -> stacked-segment trace
+    # -> resolve kernel, with only RNG/gathers/env between (the round-3
+    # XLA-tail plan, docs/PERF.md). Needs the fused-sweep route (the
+    # stacked trace entry) and the fused tail.
+    stacked_fn = getattr(nearest, "from_feats_stacked", None)
+    use_front = (use_fused_tail and cfg.front_kernel
+                 and stacked_fn is not None)
+    e_cnt = sd.n_emit
+    if use_front:
+        zc = jnp.zeros((max(e_cnt, 1), 7), jnp.float32)
+        ltab = (jnp.concatenate(
+            [sd.light_p1, sd.light_p2, sd.light_p3, zc], axis=1)
+            if e_cnt else jnp.zeros((1, 16), jnp.float32))
+        pad_l = (-ltab.shape[0]) % 8
+        if pad_l:
+            ltab = jnp.concatenate(
+                [ltab, jnp.zeros((pad_l, 16), jnp.float32)])
+        lights2 = (jnp.concatenate(
+            [sd.light_norm, sd.light_emis, sd.light_area[:, None],
+             sd.emit_idx[:, None].astype(jnp.float32)], axis=1)
+            if e_cnt else jnp.zeros((1, 8), jnp.float32))
 
     def body(carry):
         fst, ust, accum, cnt, n_rays0 = carry
@@ -139,7 +160,63 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
 
         # ---- advance live paths one bounce ----
         st = (active, ray_src, out_dir, hit_idx, jnp.zeros(m, bool))
-        if use_fused_tail:
+        if use_front:
+            from ..ops.pallas import bounce_front, bounce_resolve
+
+            tri = jnp.where(active, hit_idx, 0)
+            pre = wavefront.front_precompute(
+                st, b, pix, smp, tri, trow, mrow, sd, cfg, jnp, nearest)
+            us = pre.us
+            pad_r = (-us.shape[0]) % 8
+            if pad_r:
+                us = jnp.concatenate(
+                    [us, jnp.zeros((pad_r, m), us.dtype)])
+            exaux = erows = refr = None
+            if sd.has_sss:
+                exaux = jnp.concatenate(
+                    [pre.total_area[None], pre.exit_tri[None].astype(
+                        jnp.float32), jnp.zeros((6, m), jnp.float32)])
+                erows = pre.erows_t
+            if sd.has_refract:
+                rd, rr_, resc, rlast, rsrc = pre.refr
+                refr = jnp.concatenate([
+                    jnp.stack([rd.x, rd.y, rd.z, rsrc.x, rsrc.y, rsrc.z,
+                               rr_.x, rr_.y, rr_.z,
+                               resc.astype(jnp.float32),
+                               rlast.astype(jnp.float32)]),
+                    jnp.zeros((5, m), jnp.float32)])
+            feats, excl, p1, maskf, ld = bounce_front.front_bounce(
+                fst, us, ust.astype(jnp.int32), ltab, exaux, erows, refr,
+                e_cnt, sd.has_sss, sd.has_refract, cfg, interpret=interp)
+            bt, bi = stacked_fn(feats, excl, e_cnt + 2, e_cnt)
+            # env radiance for the HDR + continuation dirs (one fetch);
+            # hdir is raw in p1 rows 6-8 (XLA-path parity: _unit_p),
+            # cdir rows 9-11 are already unit
+            hdir_u = _unit_p(V3(p1[6], p1[7], p1[8]), jnp)
+            env2 = envmap.sample_env_sd_p(
+                sd, V3(jnp.concatenate([hdir_u.x, p1[9]]),
+                       jnp.concatenate([hdir_u.y, p1[10]]),
+                       jnp.concatenate([hdir_u.z, p1[11]])),
+                jnp, clamp=cfg.hdr_clamp)
+            zrow1 = jnp.zeros((1, m), jnp.float32)
+            env8 = jnp.concatenate([
+                env2.x[None, :m], env2.y[None, :m], env2.z[None, :m],
+                env2.x[None, m:], env2.y[None, m:], env2.z[None, m:],
+                zrow1, zrow1])
+            c_bt = bt[e_cnt + 1]
+            crows_t2 = jnp.transpose(sd.tri_mat_table[
+                jnp.where(c_bt < wavefront.INF, bi[e_cnt + 1], 0)])
+            fst_cont, meta, scat = bounce_resolve.resolve_bounce2(
+                fst, p1, ld, maskf, crows_t2, bt, bi, env8, lights2,
+                e_cnt, sd.has_sss, sd.has_refract, cfg.rr_rate,
+                cfg.sss_rate, cfg.max_depth, npix, interpret=interp)
+            hit_idx2 = meta[1]
+            b2 = meta[2].astype(jnp.uint32)
+            slot_done = meta[3].astype(jnp.uint32)
+            finished = meta[4] != 0
+            still = meta[5] != 0
+            contrib = V3(scat[0], scat[1], scat[2])
+        elif use_fused_tail:
             from ..ops.pallas import bounce_resolve
 
             def tail_fn(t):

@@ -128,6 +128,13 @@ def make_nearest(sd, cfg: RenderConfig, xp) -> Callable:
                 cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp(
                     feats, ex, sd, interpret=interp, anyhit=anyhit
                 ))
+            # segment-stacked entry for the pool's all-Pallas bounce
+            # pipeline (front kernel -> stacked trace -> resolve kernel)
+            fn.from_feats_stacked = lambda feats, ex, n_seg, anyhit_seg: (
+                cluster_sweep_fused.nearest_hit_sweep_fused_stacked_jnp(
+                    feats, ex, sd, n_seg, interpret=interp,
+                    anyhit_seg=anyhit_seg
+                ))
             return fn
         if cfg.traversal == "sweep_mxu":
             from ..ops.pallas import cluster_sweep_mxu

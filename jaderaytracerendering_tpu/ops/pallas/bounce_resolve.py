@@ -42,11 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.vecmath import V3, v3rows, vwhere
 
 
-def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crows_ref,
-            lights_ref, fstc_ref, meta_ref, scat_ref, *, e_cnt: int,
+def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crows_ref, *rest, e_cnt: int,
             has_sss: bool, has_refract: bool, rr_rate: float,
-            sss_rate: float, max_depth: int, npix: int):
+            sss_rate: float, max_depth: int, npix: int,
+            post_in_kernel: bool = False):
     from ...integrator import wavefront
+    from ..intersect import INF
+
+    if post_in_kernel:
+        bt_ref, bi_ref, env_ref, lights_ref = rest[:4]
+        fstc_ref, meta_ref, scat_ref = rest[4:]
+    else:
+        bt_ref = bi_ref = env_ref = None
+        lights_ref, fstc_ref, meta_ref, scat_ref = rest
 
     P = p1_ref[:]
     F = fst_ref[:]
@@ -62,23 +70,47 @@ def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crows_ref,
 
     ldirs = [V3(ld_ref[3 * i:3 * i + 1], ld_ref[3 * i + 1:3 * i + 2],
                 ld_ref[3 * i + 2:3 * i + 3]) for i in range(e_cnt)]
-    l_oks = [bit(12 + i) for i in range(e_cnt)]
     l_norms = [V3(lights_ref[i:i + 1, 0:1], lights_ref[i:i + 1, 1:2],
                   lights_ref[i:i + 1, 2:3]) for i in range(e_cnt)]
     l_emises = [V3(lights_ref[i:i + 1, 3:4], lights_ref[i:i + 1, 4:5],
                    lights_ref[i:i + 1, 5:6]) for i in range(e_cnt)]
     l_areas = [lights_ref[i:i + 1, 6:7] for i in range(e_cnt)]
 
+    if post_in_kernel:
+        # front-kernel mask layout (bounce_front.py): bits 0-8 as below,
+        # ref_escaped at 9, light GATES at 12+i; trace results, env
+        # radiance and the continuation rows arrive raw and every
+        # post-trace value is derived here
+        c_t = bt_ref[e_cnt + 1:e_cnt + 2]
+        c_hit = c_t < INF
+        c_idx = jnp.where(c_hit, bi_ref[e_cnt + 1:e_cnt + 2], 0)
+        h_hit = bt_ref[e_cnt:e_cnt + 1] < INF
+        ref_escaped = bit(9)
+        l_oks = []
+        for i in range(e_cnt):
+            l_hit = bt_ref[i:i + 1] < INF
+            eidx = lights_ref[i:i + 1, 7:8].astype(jnp.int32)
+            l_oks.append(bit(12 + i) & l_hit & (bi_ref[i:i + 1] == eidx))
+        sky = V3(env_ref[0:1], env_ref[1:2], env_ref[2:3])
+        sky_c = V3(env_ref[3:4], env_ref[4:5], env_ref[5:6])
+        c_obj_em = V3(crows_ref[16:17], crows_ref[17:18], crows_ref[18:19])
+    else:
+        c_t = P[43:44]
+        c_hit, h_hit, ref_escaped = bit(9), bit(10), bit(11)
+        c_idx = aux_ref[1:2]
+        l_oks = [bit(12 + i) for i in range(e_cnt)]
+        sky, sky_c, c_obj_em = pv3(0), pv3(3), pv3(30)
+
     cdir_u = pv3(9)
     cont_src = pv3(33)
     dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
         jnp, e_cnt, has_sss, has_refract, rr_rate, sss_rate,
         ldirs, l_oks, l_norms, l_emises, l_areas,
-        pv3(0), pv3(3), pv3(6), cdir_u, pv3(12), pv3(15), pv3(18),
-        pv3(21), pv3(24), pv3(27), pv3(30), cont_src, pv3(36),
-        P[39:40], P[40:41], P[41:42], P[42:43], P[43:44],
+        sky, sky_c, pv3(6), cdir_u, pv3(12), pv3(15), pv3(18),
+        pv3(21), pv3(24), pv3(27), c_obj_em, cont_src, pv3(36),
+        P[39:40], P[40:41], P[41:42], P[42:43], c_t,
         bit(4), bit(5), bit(6), bit(7), bit(1), bit(0), bit(2), bit(8),
-        bit(3), bit(9), bit(10), bit(11),
+        bit(3), c_hit, h_hit, ref_escaped,
     )
 
     # ---- pool accumulation (forward composite; pool.py docstring) ----
@@ -87,9 +119,8 @@ def _kernel(fst_ref, p1_ref, ld_ref, aux_ref, crows_ref,
     le0 = V3(F[12:13], F[13:14], F[14:15])
     active = bit(0)
     b = aux_ref[2:3]
-    c_idx = aux_ref[1:2]
     slot = aux_ref[3:4]
-    hit_idx_prev = aux_ref[4:5]
+    hit_idx_prev = aux_ref[1:2] if post_in_kernel else aux_ref[4:5]
 
     l_acc = l_acc + t_put * dir_out
     t_put = t_put * rate_out
@@ -163,6 +194,54 @@ def resolve_bounce(fst, p1, ld, aux, crows, lights, e_cnt, has_sss,
         ],
         interpret=interpret,
     )(fst, p1, ld, aux, crows, lights)
+    if pad:
+        fstc, meta, scat = fstc[:, :m], meta[:, :m], scat[:, :m]
+    return fstc, meta, scat
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "e_cnt", "has_sss", "has_refract", "rr_rate", "sss_rate", "max_depth",
+    "npix", "tile_m", "interpret"))
+def resolve_bounce2(fst, p1, ld, aux, crows, bt, bi, env, lights, e_cnt,
+                    has_sss, has_refract, rr_rate, sss_rate, max_depth,
+                    npix, tile_m=256, interpret=False):
+    """Front-kernel-pipeline variant: post-trace values are derived
+    IN-KERNEL from the raw per-segment trace rows (bt/bi, stacked trace
+    layout), the env radiance block (rows 0-2 sky, 3-5 sky_c) and the
+    continuation rows — so between trace and resolve the XLA graph holds
+    only the env gather and the crows gather. ``lights`` col 7 carries
+    emit_idx. aux: 0 mask (front layout), 1 prior hit_idx, 2 bounce,
+    3 slot."""
+    m = fst.shape[1]
+    pad = (-m) % tile_m
+    if pad:
+        zf = lambda a: jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
+        fst, p1, ld, aux, crows, bt, bi, env = (
+            zf(fst), zf(p1), zf(ld), zf(aux), zf(crows), zf(bt), zf(bi),
+            zf(env))
+    mp = m + pad
+    lr = ld.shape[0]
+    kern = functools.partial(
+        _kernel, e_cnt=e_cnt, has_sss=has_sss, has_refract=has_refract,
+        rr_rate=float(rr_rate), sss_rate=float(sss_rate),
+        max_depth=int(max_depth), npix=int(npix), post_in_kernel=True)
+    lane = lambda r: pl.BlockSpec((r, tile_m), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    fstc, meta, scat = pl.pallas_call(
+        kern,
+        grid=(mp // tile_m,),
+        in_specs=[lane(48), lane(48), lane(lr), lane(8), lane(32),
+                  lane(bt.shape[0]), lane(bi.shape[0]), lane(8),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[lane(48), lane(8), lane(8)],
+        out_shape=[
+            jax.ShapeDtypeStruct((48, mp), jnp.float32),
+            jax.ShapeDtypeStruct((8, mp), jnp.int32),
+            jax.ShapeDtypeStruct((8, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fst, p1, ld, aux, crows, bt, bi, env, lights)
     if pad:
         fstc, meta, scat = fstc[:, :m], meta[:, :m], scat[:, :m]
     return fstc, meta, scat

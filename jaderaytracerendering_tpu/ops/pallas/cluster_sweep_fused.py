@@ -47,21 +47,36 @@ INF = intersect.INF
 def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
                   bt_ref, bi_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
                   kp: int, cp: int, n_clusters: int,
-                  anyhit_tiles: tuple = (0, 0),
+                  anyhit_tiles: tuple = (0, 0), anyhit_seg: int = -1,
                   debug_variant: str = "full"):
     tm = f_ref.shape[1]
+    # stacked-segment mode (anyhit_seg >= 0): grid is (lane tile, segment);
+    # excl/bt/bi blocks hold ALL segment rows for the tile (TPU block
+    # rules: sublane block dims must be 8-divisible or whole), and the
+    # segment's row is selected/stored via dynamic SUBLANE indexing
+    stacked = anyhit_seg >= 0
+    seg = pl.program_id(1) if stacked else None
+
+    def _store(btv, biv):
+        if stacked:
+            bt_ref[pl.ds(seg, 1)] = btv
+            bi_ref[pl.ds(seg, 1)] = biv
+        else:
+            bt_ref[:] = btv
+            bi_ref[:] = biv
+
+    ex_row = ex_ref[pl.ds(seg, 1)] if stacked else ex_ref[:]   # [1, TM]
     if debug_variant == "stub":
         # perf ablation floor: consume the inputs, write miss outputs —
         # measures per-grid-step + XLA-tail cost with ALL kernel work
         # removed (in-kernel so XLA cannot DCE the downstream shading)
-        bt_ref[:] = f_ref[0:1] * 0.0 + INF
-        bi_ref[:] = ex_ref[:] * 0
+        _store(f_ref[0:1] * 0.0 + INF, ex_row * 0)
         return
     # transposed lane-dense inputs: [16, TM] features / [1, TM] exclusion
     # (a [Mp, 10] buffer pads 10 lanes to 128 = 33 MB at batch size);
     # one in-kernel relayout each, then the math is row-major as before
     feats = jnp.transpose(f_ref[:], (1, 0))  # [TM, 16] = (d, dxo, o, 1, 0..)
-    ex = jnp.transpose(ex_ref[:], (1, 0))    # [TM, 1]
+    ex = jnp.transpose(ex_row, (1, 0))       # [TM, 1]
 
     # ---- 1. slab tests -> active clusters [1, Cp] ----
     # identical math/semantics to cluster_sweep.prepare_tiles: per-axis
@@ -124,13 +139,17 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
     # removes most of the per-tile fixed cost on real workloads.
     @pl.when(n_act == 0)
     def _():
-        bt_ref[:] = jnp.full((1, tm), INF, jnp.float32)
-        bi_ref[:] = jnp.zeros((1, tm), jnp.int32)
+        _store(jnp.full((1, tm), INF, jnp.float32),
+               jnp.zeros((1, tm), jnp.int32))
 
-    pid = pl.program_id(0)
-    has_anyhit = anyhit_tiles[1] > anyhit_tiles[0]
-    is_anyhit = ((pid >= anyhit_tiles[0]) & (pid < anyhit_tiles[1])
-                 if has_anyhit else jnp.bool_(False))
+    if stacked:
+        has_anyhit = True
+        is_anyhit = seg == anyhit_seg
+    else:
+        pid = pl.program_id(0)
+        has_anyhit = anyhit_tiles[1] > anyhit_tiles[0]
+        is_anyhit = ((pid >= anyhit_tiles[0]) & (pid < anyhit_tiles[1])
+                     if has_anyhit else jnp.bool_(False))
 
     def mt_terms(fcat, cid):
         """One bf16x3 MXU Möller–Trumbore pass + the ok mask."""
@@ -201,11 +220,10 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
         tmin = jnp.min(btw, axis=1, keepdims=True)           # [TM, 1]
         idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
         sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2**30))
-        bt_ref[:] = jnp.transpose(tmin, (1, 0))
-        bi_ref[:] = jnp.transpose(jnp.min(sel2, axis=1, keepdims=True),
-                                  (1, 0))
+        _store(jnp.transpose(tmin, (1, 0)),
+               jnp.transpose(jnp.min(sel2, axis=1, keepdims=True), (1, 0)))
 
-    if anyhit_tiles[1] > anyhit_tiles[0]:
+    if has_anyhit:
         # Any-hit tiles (the HDR-visibility segment): downstream consumes
         # only the hit boolean, so the per-visit epilogue drops the
         # division, min-update and winner tracking — just an OR into the
@@ -225,8 +243,8 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
             run_visits(test_anyhit)
 
             hit_any = jnp.max(btw_ref[:], axis=1, keepdims=True) > 0.0
-            bt_ref[:] = jnp.transpose(jnp.where(hit_any, 1.0, INF), (1, 0))
-            bi_ref[:] = jnp.zeros((1, tm), jnp.int32)
+            _store(jnp.transpose(jnp.where(hit_any, 1.0, INF), (1, 0)),
+                   jnp.zeros((1, tm), jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
@@ -320,3 +338,84 @@ def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=256,
     bt = bt[0, :m]
     bi = bi[0, :m]
     return bt < INF, jnp.where(bt < INF, bi, 0), bt
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "tile_m", "interpret",
+                                             "anyhit_seg", "l_cap",
+                                             "_debug_variant"))
+def nearest_hit_sweep_fused_stacked_jnp(feats_stk, exclude, sd, n_seg,
+                                        tile_m=256, interpret=False,
+                                        anyhit_seg=-1, l_cap=64,
+                                        _debug_variant="full"):
+    """Segment-STACKED feats entry for the pool's fused bounce pipeline.
+
+    ``feats_stk`` [(n_seg*16), M]: segment s occupies rows
+    [s*16, (s+1)*16) in ray_features_t16 layout (what the bounce-front
+    kernel emits directly). ``exclude`` [>=n_seg, M] i32: row s is
+    segment s's per-lane exclusion. Grid is (segment, lane tile); when
+    ``anyhit_seg`` >= 0 that segment runs the cheap any-hit epilogue.
+
+    Returns RAW per-segment rows (bt [n_seg, M] f32 with INF = miss,
+    bi [n_seg, M] i32) — the resolve kernel derives hit booleans
+    in-kernel, so no [M]-plane slicing happens at this boundary."""
+    c = sd.n_clusters
+    kp = sd.cluster_coef.shape[2] // 4
+    cp = sd.cluster_triu.shape[0]
+    m = feats_stk.shape[1]
+    pad = (-m) % tile_m
+    if pad:
+        feats_stk = jnp.concatenate(
+            [feats_stk, jnp.zeros((feats_stk.shape[0], pad),
+                                  feats_stk.dtype)], axis=1)
+        exclude = jnp.concatenate(
+            [exclude, jnp.full((exclude.shape[0], pad), -1, exclude.dtype)],
+            axis=1)
+    mp = m + pad
+    n_tiles = mp // tile_m
+
+    kern = functools.partial(_fused_kernel, kp=kp, cp=cp, n_clusters=c,
+                             anyhit_seg=anyhit_seg,
+                             debug_variant=_debug_variant)
+    # grid is (lane tile, segment) with segment INNERMOST: the excl/bt/bi
+    # blocks (whole-rows x tile, per TPU sublane-block rules) then stay
+    # resident across all of a tile's segments — one fetch/writeback per
+    # tile. The kernel row-indexes them by program_id(1).
+    sep = exclude.shape[0]
+    so = -(-n_seg // 8) * 8  # output rows padded to a sublane multiple
+    bt, bi = pl.pallas_call(
+        kern,
+        grid=(n_tiles, n_seg),
+        in_specs=[
+            pl.BlockSpec((16, tile_m), lambda i, s: (s, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sep, tile_m), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # planes, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # begin col, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triu, whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coef blocks, whole
+        ],
+        out_specs=[
+            pl.BlockSpec((so, tile_m), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((so, tile_m), lambda i, s: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            # rows >= n_seg are never written (padding for the resolve
+            # kernel's sublane-block consumption)
+            jax.ShapeDtypeStruct((so, mp), jnp.float32),
+            jax.ShapeDtypeStruct((so, mp), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((l_cap, 1), jnp.int32),
+            pltpu.VMEM((1, 1), jnp.int32),
+            pltpu.VMEM((tile_m, kp), jnp.float32),
+            pltpu.VMEM((tile_m, kp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(feats_stk, exclude, sd.cluster_planes,
+      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
+    if pad:
+        bt, bi = bt[:, :m], bi[:, :m]
+    return bt, bi

@@ -50,6 +50,11 @@ class RenderConfig:
     # (resolve + accumulate + state pack) as ONE Pallas kernel
     # (ops/pallas/bounce_resolve) instead of ~40 XLA fusions. Requires
     # n_emit <= 19 (per-light mask bit-pack); falls back automatically.
+    front_kernel: bool = True         # pool: run the pre-trace bounce front
+    # (branch select + sampling + segment-stacked feature build) as ONE
+    # Pallas kernel (ops/pallas/bounce_front) feeding the stacked-segment
+    # trace directly. Needs fused_tail + the fused-sweep traversal route;
+    # falls back to the XLA front automatically otherwise.
     bvh_leaf_size: int = 8            # PathTrace.cpp:1086 / PathTrace.cu:1565
     bvh_stack_size: int = 128         # reference capacity (PathTrace.cu:34);
     # make_nearest asserts it covers the built tree's depth + 1
