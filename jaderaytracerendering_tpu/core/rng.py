@@ -81,7 +81,10 @@ def uniform(xp, pixel_id, sample_id, bounce, site, seed=0):
     (fshader_render.fsh:96-98). Top 24 bits -> exact float32 in [0, 1).
     """
     bits = hash_counters(xp, pixel_id, sample_id, bounce, site, seed)
-    return (bits >> _u32(8, xp)).astype(xp.float32) * xp.float32(1.0 / 16777216.0)
+    # cast via int32 (exact: top-24-bit values < 2^24) — Mosaic has no
+    # direct u32 -> f32 lowering, and this path also runs in-kernel
+    return (bits >> _u32(8, xp)).astype(xp.int32).astype(xp.float32) \
+        * xp.float32(1.0 / 16777216.0)
 
 
 def wang_hash(seed, xp):

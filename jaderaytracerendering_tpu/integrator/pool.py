@@ -165,12 +165,8 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
 
             tri = jnp.where(active, hit_idx, 0)
             pre = wavefront.front_precompute(
-                st, b, pix, smp, tri, trow, mrow, sd, cfg, jnp, nearest)
-            us = pre.us
-            pad_r = (-us.shape[0]) % 8
-            if pad_r:
-                us = jnp.concatenate(
-                    [us, jnp.zeros((pad_r, m), us.dtype)])
+                st, b, pix, smp, tri, trow, mrow, sd, cfg, jnp, nearest,
+                want_us=False)
             exaux = erows = refr = None
             if sd.has_sss:
                 exaux = jnp.concatenate(
@@ -186,7 +182,7 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
                                rlast.astype(jnp.float32)]),
                     jnp.zeros((5, m), jnp.float32)])
             feats, excl, p1, maskf, ld = bounce_front.front_bounce(
-                fst, us, ust.astype(jnp.int32), ltab, exaux, erows, refr,
+                fst, ust.astype(jnp.int32), ltab, exaux, erows, refr,
                 e_cnt, sd.has_sss, sd.has_refract, cfg, interpret=interp)
             bt, bi = stacked_fn(feats, excl, e_cnt + 2, e_cnt)
             # env radiance for the HDR + continuation dirs (one fetch);

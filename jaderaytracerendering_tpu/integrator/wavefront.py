@@ -443,9 +443,20 @@ def _branch_masks(active, u_sel, u_sss, refract_mode, reflex_mode, cfg,
             is_dirref, is_diffuse, is_mirror)
 
 
+BASE_SITES = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
+              S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
+              S.RR]
+
+
 def front_precompute(state, b, pixel_id, sample_id, tri, trow_t, mrow_t,
-                     sd, cfg, xp, nearest_fn):
-    """Compute FrontPre (RNG batch, SSS pick + gathers, refract march)."""
+                     sd, cfg, xp, nearest_fn, want_us=True):
+    """Compute FrontPre (RNG batch, SSS pick + gathers, refract march).
+
+    ``want_us=False`` (the pool's front-kernel path): the Pallas front
+    kernel recomputes every per-bounce draw in-kernel (bit-identical —
+    the RNG is a pure counter hash), so only the 3 sites the XLA-side
+    SSS pick / branch masks consume are computed here and FrontPre.us
+    is None."""
     active, ray_src, out_dir, hit_idx, killed = state
     e_cnt = sd.n_emit
 
@@ -455,13 +466,12 @@ def front_precompute(state, b, pixel_id, sample_id, tri, trow_t, mrow_t,
     # streams while collapsing ~12 separate elementwise launch chains
     # (at ~30us each on the axon runtime) into one. Site axis on
     # sublanes so per-site reads are dense [M] rows.
-    base_sites = [S.SELECT_REFRACT, S.SELECT_SSS, S.AREA_CDF, S.EXIT_U,
-                  S.EXIT_V, S.HDR_COS, S.HDR_PHI, S.CONT_COS, S.CONT_PHI,
-                  S.RR]
+    n_sites = len(BASE_SITES) if want_us else 3
     site_vals = np.asarray(
-        base_sites
-        + [S.LIGHT_BASE + 2 * i for i in range(e_cnt)]
-        + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)],
+        BASE_SITES[:n_sites]
+        + ([S.LIGHT_BASE + 2 * i for i in range(e_cnt)]
+           + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)]
+           if want_us else []),
         np.uint32,
     )
     def _rowb(a):  # [M] -> [1, M]; scalars broadcast as-is
@@ -512,7 +522,8 @@ def front_precompute(state, b, pixel_id, sample_id, tri, trow_t, mrow_t,
             out_dir, sd, cfg, xp, nearest_fn, u_site,
         )
 
-    return FrontPre(us, erows_t, exit_tri, total_area, refr)
+    return FrontPre(us if want_us else None, erows_t, exit_tri, total_area,
+                    refr)
 
 
 def bounce_front(active, ray_src, out_dir, tri, trow_t, mrow_t,

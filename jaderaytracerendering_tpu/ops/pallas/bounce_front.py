@@ -14,9 +14,11 @@ batch buffer or [16, 4M] lane-concat ever materializes.
 Interface (lane blocks (rows, TM) over the lane grid; E = n_emit):
   fst   [48, M] f32 in — pool carry (src 0-2, dir 3-5, trow 16-31,
                          mrow 32-47)
-  us    [USR, M] f32 in — batched RNG rows (front_precompute layout,
-                          zero-padded to a multiple of 8 rows)
-  ust   [8, M] i32 in  — carry ids (0 active, 1 hit_idx)
+  ust   [8, M] i32 in  — carry ids (0 active, 1 hit_idx, 2 bounce,
+                         3 slot, 4 pixel, 5 sample); the per-bounce RNG
+                         batch is recomputed IN-KERNEL from these
+                         counters (pure hash, bit-identical to the XLA
+                         front_precompute batch)
   ltab  [Ep, 16] f32 in (whole) — light p1 (0-2), p2 (3-5), p3 (6-8)
   exaux [8, M] f32 in  — (has_sss) 0 total_area, 1 exit_tri-as-f32
   erows [32, M] f32 in — (has_sss) exit tri++mat rows
@@ -70,8 +72,10 @@ def _unit2(d: V3) -> V3:
     return vm.vnormalize(vm.vnormalize(d, jnp, eps=1e-30), jnp)
 
 
-def _kernel(fst_ref, us_ref, ust_ref, ltab_ref, *rest, e_cnt: int,
+def _kernel(fst_ref, ust_ref, ltab_ref, *rest, e_cnt: int,
             has_sss: bool, has_refract: bool, cfg):
+    from ...core import rng
+    from ...core.rng import DrawSites as S
     from ...integrator import wavefront
 
     r = list(rest)
@@ -91,6 +95,19 @@ def _kernel(fst_ref, us_ref, ust_ref, ltab_ref, *rest, e_cnt: int,
     hit_idx = ust_ref[1:2]
     tri = jnp.where(active, hit_idx, 0)
 
+    # ---- per-bounce RNG recomputed IN-KERNEL (pure counter hash ->
+    # bit-identical to the XLA batch front_precompute builds for the
+    # scan engine; carrying the [12+, M] us block through HBM cost
+    # ~0.3 ms/iter of launch+staging, docs/PERF.md) ----
+    b1 = ust_ref[2:3].astype(jnp.uint32) + jnp.uint32(1)
+    pix_u = ust_ref[4:5].astype(jnp.uint32)
+    smp_u = ust_ref[5:6].astype(jnp.uint32)
+    sites = wavefront.BASE_SITES + [
+        S.LIGHT_BASE + 2 * i for i in range(e_cnt)
+    ] + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)]
+    us_rows = [rng.uniform(jnp, pix_u, smp_u, b1, int(s), cfg.seed)
+               for s in sites]
+
     if has_sss:
         total_area = exaux_ref[0:1]
         exit_tri = exaux_ref[1:2].astype(jnp.int32)
@@ -107,8 +124,7 @@ def _kernel(fst_ref, us_ref, ust_ref, ltab_ref, *rest, e_cnt: int,
     else:
         refr = None
 
-    pre = wavefront.FrontPre(_Rows(us_ref[:]), erows, exit_tri,
-                             total_area, refr)
+    pre = wavefront.FrontPre(us_rows, erows, exit_tri, total_area, refr)
     lpt = lambda i, c: ltab_ref[i : i + 1, c : c + 1]
     light_pts = [
         (V3(lpt(i, 0), lpt(i, 1), lpt(i, 2)),
@@ -181,15 +197,16 @@ def _kernel(fst_ref, us_ref, ust_ref, ltab_ref, *rest, e_cnt: int,
     ld_ref[:] = jnp.concatenate(ld_rows)
 
 
-def front_bounce(fst, us, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
+def front_bounce(fst, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
                  has_refract, cfg, tile_m=256, interpret=False):
     """Run the front kernel -> (feats, excl, p1, maskf, ld).
 
     ``exaux``/``erows`` may be None unless has_sss; ``refr`` None unless
-    has_refract. cfg is the static RenderConfig (hashable)."""
+    has_refract. cfg is the static RenderConfig (hashable). All RNG
+    draws are computed in-kernel from the ust counters."""
     m = fst.shape[1]
     pad = (-m) % tile_m
-    ins = [fst, us, ust]
+    ins = [fst, ust]
     if has_sss:
         ins += [exaux, erows]
     if has_refract:
@@ -202,11 +219,10 @@ def front_bounce(fst, us, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
     n_seg = e_cnt + 2
     sep = -(-n_seg // 8) * 8
     lr = max(8, -(-3 * max(e_cnt, 1) // 8) * 8)
-    usr = ins[1].shape[0]
 
-    lane = lambda r, dt=None: pl.BlockSpec((r, tile_m), lambda i: (0, i),
-                                           memory_space=pltpu.VMEM)
-    in_specs = [lane(48), lane(usr), lane(8)]
+    lane = lambda r: pl.BlockSpec((r, tile_m), lambda i: (0, i),
+                                  memory_space=pltpu.VMEM)
+    in_specs = [lane(48), lane(8)]
     in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))  # ltab whole
     if has_sss:
         in_specs += [lane(8), lane(32)]
@@ -218,7 +234,7 @@ def front_bounce(fst, us, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
     feats, excl, p1, maskf, ld = pl.pallas_call(
         kern,
         grid=(mp // tile_m,),
-        in_specs=in_specs[:3] + [in_specs[3]] + in_specs[4:],
+        in_specs=in_specs,
         out_specs=[lane(n_seg * 16), lane(sep), lane(48), lane(8),
                    lane(lr)],
         out_shape=[
@@ -229,7 +245,7 @@ def front_bounce(fst, us, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
             jax.ShapeDtypeStruct((lr, mp), jnp.float32),
         ],
         interpret=interpret,
-    )(ins[0], ins[1], ins[2], ltab, *ins[3:])
+    )(ins[0], ins[1], ltab, *ins[2:])
     if pad:
         feats, excl, p1, maskf, ld = (feats[:, :m], excl[:, :m], p1[:, :m],
                                       maskf[:, :m], ld[:, :m])

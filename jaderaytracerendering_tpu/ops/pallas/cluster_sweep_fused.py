@@ -152,11 +152,11 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
                      if has_anyhit else jnp.bool_(False))
 
     def mt_terms(fcat, cid):
-        """One bf16x3 MXU Möller–Trumbore pass + the ok mask."""
-        coef = coefs_ref[pl.ds(cid, 1)][0]                   # [16, 4*Kp]
-        ch = coef.astype(jnp.bfloat16)
-        cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
-        ccat = jnp.concatenate([ch, cl_, ch], axis=0)        # [48, 4*Kp]
+        """One bf16x3 MXU Möller–Trumbore pass + the ok mask. The [48,
+        4*Kp] = [hi; lo; hi] coefficient rows are pre-split at scene
+        assembly (sd.cluster_coef_b16) — in-kernel per-visit splitting
+        cost two converts + a concat in the hot loop."""
+        ccat = coefs_ref[pl.ds(cid, 1)][0]                   # [48, 4*Kp]
         s = jnp.dot(fcat, ccat, preferred_element_type=jnp.float32)
         a = s[:, 0 * kp : 1 * kp]
         su = s[:, 1 * kp : 2 * kp]
@@ -249,7 +249,7 @@ def _fused_kernel(f_ref, ex_ref, planes_ref, begin_ref, triu_ref, coefs_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
                                              "l_cap", "_debug_variant"))
-def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
+def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=128,
                                 interpret=False, anyhit=None, l_cap=64,
                                 _debug_variant="full"):
     """Fused cluster-sweep nearest hit. Same contract as the other
@@ -272,7 +272,7 @@ def nearest_hit_sweep_fused_jnp(origins, dirs, exclude, sd, tile_m=256,
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "anyhit",
                                              "l_cap", "_debug_variant"))
-def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=256,
+def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=128,
                                       interpret=False, anyhit=None, l_cap=64,
                                       _debug_variant="full"):
     """Feats-level entry: the integrator builds the transposed ray
@@ -334,7 +334,7 @@ def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=256,
         ],
         interpret=interpret,
     )(feats, exclude, sd.cluster_planes,
-      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
+      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef_b16)
     bt = bt[0, :m]
     bi = bi[0, :m]
     return bt < INF, jnp.where(bt < INF, bi, 0), bt
@@ -415,7 +415,7 @@ def nearest_hit_sweep_fused_stacked_jnp(feats_stk, exclude, sd, n_seg,
         ],
         interpret=interpret,
     )(feats_stk, exclude, sd.cluster_planes,
-      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef)
+      sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef_b16)
     if pad:
         bt, bi = bt[:, :m], bi[:, :m]
     return bt, bi

@@ -109,6 +109,11 @@ class SceneData:
     # MXU sweep kernel (Kp = cluster_k padded to a multiple of 32 so the
     # four in-kernel planes slice at 128-aligned lane offsets)
     cluster_coef: jax.Array
+    # pre-split bf16x3 rows [C, 48, 4*Kp] = [hi; lo; hi] for the fused
+    # sweep kernel's contraction-stacked dot — splitting at assembly
+    # removes two converts + a concat from EVERY cluster visit (the hot
+    # loop). Built only alongside cluster_triu (the VMEM-resident route)
+    cluster_coef_b16: jax.Array
     # fused sweep kernel tables (ops.pallas.cluster_sweep_fused): cluster
     # AABB planes [8, Cp] (rows aa.xyz, bb.xyz, 0, 0), begin ids [Cp, 1]
     # laid out for sublane-dim scalar reads, and an upper-triangular ones
@@ -281,8 +286,17 @@ def assemble(
         cbegin_col[: cl.n_clusters, 0] = cl.begin
     if c_pad <= 2048:
         ctriu = np.triu(np.ones((c_pad, c_pad), np.float32))
+        import ml_dtypes
+
+        _bf = ml_dtypes.bfloat16
+        _ch = ccoef.astype(_bf)
+        _cl = (ccoef - _ch.astype(np.float32)).astype(_bf)
+        ccoef_b16 = np.concatenate([_ch, _cl, _ch], axis=1)
     else:
         ctriu = np.zeros((0, 0), np.float32)
+        import ml_dtypes
+
+        ccoef_b16 = np.zeros((0, 48, 4 * cluster_kp), ml_dtypes.bfloat16)
 
     # level-1 chunk AABBs (streaming sweep): union over 128-cluster runs.
     # NOTE the inverted [1e30, -1e30] padding boxes DO pass the slab test
@@ -343,6 +357,7 @@ def assemble(
         cluster_count=to(cl.count, np.int32),
         cluster_tris=to(ctris),
         cluster_coef=to(ccoef),
+        cluster_coef_b16=xp.asarray(np.ascontiguousarray(ccoef_b16)),
         cluster_planes=to(cplanes),
         cluster_begin_col=to(cbegin_col, np.int32),
         cluster_triu=to(ctriu),

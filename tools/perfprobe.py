@@ -69,6 +69,9 @@ def main():
         _orig = cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp
         cluster_sweep_fused.nearest_hit_sweep_fused_feats_jnp = _ft.partial(
             _orig, **over)
+        _orig_s = cluster_sweep_fused.nearest_hit_sweep_fused_stacked_jnp
+        cluster_sweep_fused.nearest_hit_sweep_fused_stacked_jnp = _ft.partial(
+            _orig_s, **over)
 
     ds = demo.jade_scene(n_buddha_tris=args.tris, env_shape=(128, 256))
     ds.camera.r = 2.2
