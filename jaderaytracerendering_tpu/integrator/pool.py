@@ -137,6 +137,25 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     stacked_fn = getattr(nearest, "from_feats_stacked", None)
     use_front = (use_fused_tail and cfg.front_kernel
                  and stacked_fn is not None)
+    # spawn kernel: the per-round respawn chain (cumsum + sample assign
+    # + camera RNG/rays + primary feature build) as ONE Pallas call
+    # (ops/pallas/spawn_front). Orthogonal to the bounce pipeline: any
+    # feats-level traversal route can consume its feature block. The
+    # film-shard case (pixel_ids) keeps the XLA spawn — its pix lookup
+    # is a host-table gather.
+    from_feats = getattr(nearest, "from_feats", None)
+    use_spawn = (cfg.spawn_kernel and pixel_ids is None
+                 and from_feats is not None)
+    if use_spawn:
+        from ..ops.pallas import spawn_front
+
+        eye_b = V3(*(jnp.broadcast_to(eye[i], (m,)).astype(jnp.float32)
+                     for i in range(3)))
+        cam24 = jnp.concatenate([
+            jnp.asarray(cam_rot, jnp.float32).reshape(-1),
+            jnp.asarray(eye, jnp.float32),
+            jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+        excl_m1 = jnp.full((1, m), -1, jnp.int32)
     e_cnt = sd.n_emit
     if use_front:
         zc = jnp.zeros((max(e_cnt, 1), 7), jnp.float32)
@@ -283,10 +302,35 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
         n_miss = jnp.float32(0)
         n_prim = jnp.float32(0)
         for _ in range(max(1, cfg.spawn_rounds)):
-            got, next_sample, slot, pix, smp = spawn(fresh, next_sample,
-                                                     slot, pix, smp)
-            o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
-            d_u = _unit_p(d, jnp)
+            if use_spawn:
+                zi32 = jnp.zeros((m,), jnp.int32)
+                su = jnp.stack([
+                    fresh.astype(jnp.int32), slot.astype(jnp.int32),
+                    pix.astype(jnp.int32), smp.astype(jnp.int32),
+                    zi32, zi32, zi32, zi32])
+                ints = jnp.concatenate([
+                    next_sample[None],
+                    jnp.asarray(total_samples, jnp.int32)[None],
+                    jnp.asarray(sample_base, jnp.int32)[None],
+                    jnp.zeros((5,), jnp.int32)]).reshape(1, 8)
+                feats_p, meta_p, daux = spawn_front.spawn_primary(
+                    su, ints, cam24, npix, cfg.width, cfg.height,
+                    cfg.seed, cfg.jitter, camera_mod.FOCAL_Z,
+                    interpret=interp)
+                got = meta_p[0] != 0
+                slot = meta_p[1].astype(jnp.uint32)
+                pix = meta_p[2].astype(jnp.uint32)
+                smp = meta_p[3].astype(jnp.uint32)
+                next_sample = next_sample + jnp.minimum(
+                    meta_p[4, -1], total_samples - next_sample)
+                p_hit, p_idx, p_t = from_feats(feats_p, excl_m1)
+                o = eye_b
+                d_u = V3(daux[0], daux[1], daux[2])
+            else:
+                got, next_sample, slot, pix, smp = spawn(
+                    fresh, next_sample, slot, pix, smp)
+                o, d, p_hit, p_idx, p_t = primary(pix, smp, got)
+                d_u = _unit_p(d, jnp)
             sky = envmap.sample_env_sd_p(sd, d_u, jnp, clamp=cfg.hdr_clamp)
             row0, p_mrow = _tri_mat_rows_t(sd, jnp.where(p_hit, p_idx, 0),
                                            jnp)

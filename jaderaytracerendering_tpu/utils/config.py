@@ -46,6 +46,11 @@ class RenderConfig:
     # (~1.1 ms/iter: cumsum + camera + trace + env/rows), which measured
     # EXACTLY offsetting today (wall flat, docs/PERF.md round 3). Keep 1
     # until the spawn chain gets cheaper; the lever is real.
+    spawn_kernel: bool = True         # pool: run each respawn round's
+    # spawn chain (compaction cumsum + sample assignment + camera
+    # RNG/rays + primary feature build) as ONE Pallas kernel
+    # (ops/pallas/spawn_front). Needs a feats-level traversal route and
+    # a whole-film pool call (the sharded film path keeps the XLA spawn).
     fused_tail: bool = True           # pool: run the post-trace bounce tail
     # (resolve + accumulate + state pack) as ONE Pallas kernel
     # (ops/pallas/bounce_resolve) instead of ~40 XLA fusions. Requires
