@@ -81,11 +81,12 @@ def main(argv=None) -> None:
 
     def step():
         nonlocal film, frame, t_last
-        film = R.render_film(sd, cam, cfg.replace(spp=cfg.spp_batch), film=film)
+        film, disp = R.render_film_preview(
+            sd, cam, cfg.replace(spp=cfg.spp_batch), film=film, display=True)
         # honest frame time: axon dispatch is async and slice transfers
-        # under-synchronize — pull the full film (the preview would
-        # display it anyway)
-        np.asarray(film.accum)
+        # under-synchronize — pull the FULL display frame (the u8 image a
+        # window would show, tonemapped device-side in the same dispatch)
+        np.asarray(disp)
         frame += 1
         now = time.perf_counter()
         # the reference's per-frame FPS line (PathTrace.cpp:677-680)

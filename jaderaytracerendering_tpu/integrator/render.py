@@ -190,6 +190,68 @@ def render_batch(sd, eye, cam_rot, pixel_ids, sample_base, cfg: RenderConfig,
     return jnp.stack([fold(rad.x), fold(rad.y), fold(rad.z)], axis=-1)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sppb", "chunk_px", "display"),
+                   donate_argnums=(0,))
+def _preview_frame(accum, sd, eye, cam_rot, sample_base, n_after,
+                   cfg: RenderConfig, sppb: int, chunk_px: int,
+                   display: bool = False):
+    """One WHOLE progressive preview frame as a single dispatch.
+
+    The interactive loop (cli/preview.py, reference display loop
+    PathTrace.cpp:1180-1187) was dispatch-bound: at 1024^2 a frame was
+    4 render_batch dispatches + 4 host-side accumulate dispatches, each
+    paying the ~25 ms axon RPC floor (docs/PERF.md round-3 probe).
+    Unrolling the chunk loop inside one jit (accum donated, so the film
+    updates in place) makes a frame cost ONE dispatch. With ``display``
+    the same dispatch also produces the tonemapped u8 frame (the
+    reference's pass2/pass3 screen output, fshader_pass3.fsh) so the
+    interactive loop transfers 3 bytes/pixel, not the f32 film."""
+    npix = cfg.width * cfg.height
+    n_chunks = -(-npix // chunk_px)
+    for c in range(n_chunks):
+        ids = (jnp.arange(chunk_px, dtype=jnp.uint32)
+               + jnp.uint32(c * chunk_px)) % jnp.uint32(npix)
+        out = render_batch(sd, eye, cam_rot, ids, sample_base, cfg, sppb)
+        take = min(chunk_px, npix - c * chunk_px)
+        accum = accum.at[c * chunk_px : c * chunk_px + take].add(out[:take])
+    if not display:
+        return accum
+    rad = accum.reshape(cfg.height, cfg.width, 3)[::-1]
+    rad = rad / jnp.maximum(n_after.astype(jnp.float32), 1.0)
+    return accum, tonemap.finalize(rad, jnp, cfg.tonemap)
+
+
+def render_film_preview(sd, cam, cfg: RenderConfig,
+                        film: Optional[Film] = None,
+                        display: bool = False):
+    """Preview-integrator film accumulation, one dispatch per frame.
+
+    With ``display`` returns ``(film, u8_frame)`` where the [H, W, 3] u8
+    frame is computed device-side inside the final frame's dispatch."""
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    eye = jnp.asarray(cam.eye, jnp.float32)
+    rot = jnp.asarray(cam.camera_rotate, jnp.float32)
+    sppb = max(1, min(cfg.spp_batch, cfg.spp))
+    chunk_px = max(1, min(npix, cfg.rays_per_launch // sppb))
+    accum = film.accum.reshape(-1, 3)
+    done = 0
+    disp = None
+    while done < cfg.spp:
+        step = min(sppb, cfg.spp - done)
+        last = done + step >= cfg.spp
+        out = _preview_frame(accum, sd, eye, rot, film.count + done,
+                             film.count + done + step, cfg, step, chunk_px,
+                             display=display and last)
+        accum, disp = out if display and last else (out, disp)
+        done += step
+    new_film = Film(accum=accum.reshape(cfg.height, cfg.width, 3),
+                    count=film.count + done)
+    return (new_film, disp) if display else new_film
+
+
 def render_radiance_np(sd, cam, cfg: RenderConfig) -> np.ndarray:
     """NumPy end-to-end render (small sizes; shares all integrator code).
 
@@ -228,6 +290,11 @@ def render_film(
         from . import pool as pool_mod
 
         film = pool_mod.render_film_pool(sd, cam, cfg, film=film)
+        if progress:
+            progress(cfg.spp, cfg.spp)
+        return film
+    if cfg.integrator == "preview":
+        film = render_film_preview(sd, cam, cfg, film=film)
         if progress:
             progress(cfg.spp, cfg.spp)
         return film

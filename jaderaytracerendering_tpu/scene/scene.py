@@ -124,7 +124,9 @@ class SceneData:
     cluster_triu: jax.Array
     # level-1 chunk AABBs for the streaming sweep: unions of 128
     # BVH-ordered clusters, [8, NCp] (NCp = chunk count padded to 128;
-    # empty chunks carry inverted +/-1e30 boxes so they never activate)
+    # padding chunks carry inverted +/-1e30 boxes — NOT a never-hit
+    # sentinel, see the assembly-site NOTE; the kernel simply never
+    # reads them)
     cluster_chunk_planes: jax.Array
     # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
     tri_gemm: jax.Array
