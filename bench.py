@@ -160,12 +160,16 @@ def _measure_preview_fps(base, width: int, height: int,
                        max_depth=2, rays_per_launch=1 << 18,
                        traversal=base.traversal, integrator="preview")
     film = Film.create(cfg.height, cfg.width)
-    film = R.render_film(sd, ds.camera, cfg, film=film)  # compile
-    np.asarray(film.accum)
+    # the preview CLI loop: one dispatch per frame, device-side tonemap,
+    # and the FULL u8 display frame transfer is the honest barrier
+    film, disp = R.render_film_preview(sd, ds.camera, cfg, film=film,
+                                       display=True)  # compile
+    np.asarray(disp)
     t0 = time.perf_counter()
     for _ in range(frames):
-        film = R.render_film(sd, ds.camera, cfg, film=film)
-        np.asarray(film.accum)  # full-film barrier (slices can under-sync)
+        film, disp = R.render_film_preview(sd, ds.camera, cfg, film=film,
+                                           display=True)
+        np.asarray(disp)
     return frames / (time.perf_counter() - t0)
 
 

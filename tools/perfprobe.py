@@ -41,6 +41,7 @@ def main():
                          "slab_only | capN (see cluster_sweep_fused)")
     ap.add_argument("--spawn-rounds", type=int, default=1)
     ap.add_argument("--no-fused-tail", action="store_true")
+    ap.add_argument("--no-spawn-kernel", action="store_true")
     ap.add_argument("--trace-tile", type=int, default=0,
                     help="override the fused trace kernel tile_m")
     args = ap.parse_args()
@@ -81,7 +82,8 @@ def main():
                        max_depth=args.depth, traversal=args.traversal,
                        engine="pool", rays_per_launch=args.pool_m,
                        spawn_rounds=args.spawn_rounds,
-                       fused_tail=not args.no_fused_tail)
+                       fused_tail=not args.no_fused_tail,
+                       spawn_kernel=not args.no_spawn_kernel)
     eye = jnp.asarray(ds.camera.eye, jnp.float32)
     rot = jnp.asarray(ds.camera.camera_rotate, jnp.float32)
     npix = cfg.width * cfg.height
