@@ -80,3 +80,33 @@ def test_pool_distributed_matches_single():
             np.asarray(f_d.mean()), np.asarray(f_s.mean()),
             rtol=1e-3, atol=1e-4,
         )
+
+
+def test_pool_spawn_kernel_sweep_matches_scan():
+    """The production TPU route — pool engine, Pallas sweep traversal,
+    Pallas spawn front (cfg.spawn_kernel) — vs the scan engine.
+
+    The sharded tests keep the XLA spawn (film-shard pixel_ids), so this
+    is the only suite coverage of ops/pallas/spawn_front end-to-end.
+    interpret-mode kernels on the CPU backend."""
+    ds, sd, cfg = _setup(traversal="sweep", rays_per_launch=256, spp=4)
+    assert cfg.spawn_kernel
+    a = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
+
+
+def test_pool_spawn_kernel_off_matches_on():
+    """spawn_kernel=False (XLA spawn chain) and True (Pallas spawn front)
+    produce the same film (up to FMA-contraction ulps, which the 8x8
+    4spp tolerance absorbs) INCLUDING work-queue exhaustion: spp*npix
+    isn't a multiple of the pool size, so the final rounds spawn a
+    partial batch and the queue cut (meta row 4) must match pool.spawn."""
+    ds, sd, cfg = _setup(traversal="sweep", rays_per_launch=192, spp=3)
+    on = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
+    off = np.asarray(pool.render_film_pool(
+        sd, ds.camera, cfg.replace(spawn_kernel=False)).mean())
+    scale = max(np.abs(off).max(), 1.0)
+    np.testing.assert_allclose(on, off, atol=1e-4 * scale, rtol=1e-3)
