@@ -79,14 +79,20 @@ def main(argv=None) -> None:
         image_io.save(path, np.asarray(tonemap.finalize(rad, np, tmap)))
         stage(f"wrote {path}")
 
+    pending = None  # previous frame's device-side u8 display image
+
     def step():
-        nonlocal film, frame, t_last
+        nonlocal film, frame, t_last, pending
         film, disp = R.render_film_preview(
             sd, cam, cfg.replace(spp=cfg.spp_batch), film=film, display=True)
-        # honest frame time: axon dispatch is async and slice transfers
-        # under-synchronize — pull the FULL display frame (the u8 image a
-        # window would show, tonemapped device-side in the same dispatch)
-        np.asarray(disp)
+        # pipelined display (the GL loop's implicit double buffering,
+        # PathTrace.cpp:1180-1187): the dispatch above is async, so
+        # transferring the PREVIOUS frame's u8 image overlaps this
+        # frame's compute. The transfer of a FULL buffer is the honest
+        # completion barrier for the frame it belongs to — each printed
+        # FPS interval contains exactly one whole displayed frame.
+        np.asarray(pending if pending is not None else disp)
+        pending = disp
         frame += 1
         now = time.perf_counter()
         # the reference's per-frame FPS line (PathTrace.cpp:677-680)
@@ -172,6 +178,7 @@ def main(argv=None) -> None:
             moved = False
         if moved:
             film = film.reset()  # frameCounter = 0
+            pending = None  # don't display a pre-move frame
 
 
 if __name__ == "__main__":

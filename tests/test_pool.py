@@ -98,13 +98,19 @@ def test_pool_spawn_kernel_sweep_matches_scan():
     np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
 
 
-def test_pool_spawn_kernel_off_matches_on():
+import pytest
+
+
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_pool_spawn_kernel_off_matches_on(rounds):
     """spawn_kernel=False (XLA spawn chain) and True (Pallas spawn front)
     produce the same film (up to FMA-contraction ulps, which the 8x8
     4spp tolerance absorbs) INCLUDING work-queue exhaustion: spp*npix
     isn't a multiple of the pool size, so the final rounds spawn a
-    partial batch and the queue cut (meta row 4) must match pool.spawn."""
-    ds, sd, cfg = _setup(traversal="sweep", rays_per_launch=192, spp=3)
+    partial batch and the queue cut (meta row 4) must match pool.spawn —
+    and with spawn_rounds=2, miss lanes staying fresh across rounds."""
+    ds, sd, cfg = _setup(traversal="sweep", rays_per_launch=192, spp=3,
+                         spawn_rounds=rounds)
     on = np.asarray(pool.render_film_pool(sd, ds.camera, cfg).mean())
     off = np.asarray(pool.render_film_pool(
         sd, ds.camera, cfg.replace(spawn_kernel=False)).mean())
