@@ -35,7 +35,7 @@ def main() -> None:
     ap.add_argument("--spp-batch", type=int, default=4)
     ap.add_argument("--rays-per-launch", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
-    ap.add_argument("--engine", default="pool", choices=["pool", "scan"])
+    ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     ap.add_argument("--all", action="store_true",

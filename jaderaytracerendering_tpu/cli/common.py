@@ -112,7 +112,7 @@ def add_common_args(ap) -> None:
     ap.add_argument("--max-depth", dest="max_depth", type=int)
     ap.add_argument("--traversal",
                     choices=["sweep", "clusters", "gemm", "bvh", "brute"])
-    ap.add_argument("--engine", choices=["pool", "scan"])
+    ap.add_argument("--engine", choices=["pool", "scan", "mega"])
     ap.add_argument("--spp-batch", dest="spp_batch", type=int)
     ap.add_argument("--rays-per-launch", dest="rays_per_launch", type=int)
     ap.add_argument("--seed", type=int)

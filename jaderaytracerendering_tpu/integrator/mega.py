@@ -1,0 +1,136 @@
+"""Megakernel render engine: the whole film in ONE kernel launch.
+
+Host-side wrapper for ops/pallas/mega.py (the TPU analogue of the
+reference's single `render_pixel<<<grid, block>>>` launch,
+PathTrace.cu:1725-1731): packs the scene's gather tables into the
+128-lane-row layouts the kernel's in-kernel gathers need, launches one
+pallas_call for the whole film x spp, and folds the dense per-pixel
+radiance rows into a Film.
+
+Eligibility (falls back to the pool engine via render.render_film):
+  - VMEM-resident traversal class (cluster_triu built, i.e. the fused
+    sweep's c_pad <= 2048 scenes) and total table footprint within the
+    ~16 MB VMEM budget;
+  - no direct-refraction materials (the in-kernel march is not
+    implemented yet);
+  - SSS scenes need the bucketed CDF tables (sd.sss_nb > 0 — assemble
+    always builds them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..core.film import Film
+from ..utils.config import RenderConfig
+from ..utils.logging import stage
+
+# VMEM budget for the resident tables (bytes); leaves room for the
+# kernel's scratch + in/out blocks inside the ~16 MB/core VMEM
+MEGA_VMEM_BUDGET = 14 * 2 ** 20
+
+_pack_cache: dict = {}
+
+
+def eligible(sd, cfg: RenderConfig) -> bool:
+    if sd.has_refract:
+        return False
+    if sd.cluster_triu.size == 0 or sd.n_clusters == 0:
+        return False
+    if sd.has_sss and not sd.sss_nb:
+        return False
+    total = (sd.cluster_coef.nbytes + sd.cluster_triu.nbytes
+             + sd.tri_mat_table.nbytes + sd.env_pack.nbytes
+             + (sd.sss_bucket.nbytes + sd.sss_window.nbytes
+                if sd.has_sss else 0))
+    return total <= MEGA_VMEM_BUDGET
+
+
+def _pack128(a: np.ndarray) -> np.ndarray:
+    """[R, w] -> [ceil(R/(128//w)), 128]: k=128//w consecutive rows per
+    128-lane row, so a VMEM-resident table wastes no lane padding and a
+    row fetch is take(row // k) + a static k-way lane-block select."""
+    r, w = a.shape
+    k = 128 // w
+    rp = -(-r // k) * k
+    if rp != r:
+        a = np.concatenate([a, np.zeros((rp - r, w), a.dtype)])
+    return np.ascontiguousarray(a.reshape(rp // k, 128))
+
+
+def _tables(sd, xp):
+    """Pack (and cache) the kernel's gather tables for this scene."""
+    key = id(sd)
+    hit = _pack_cache.get(key)
+    if hit is not None and hit[0]() is sd:
+        return hit[1]
+    import weakref
+
+    import jax.numpy as jnp
+
+    trimat = jnp.asarray(_pack128(np.asarray(sd.tri_mat_table)))
+    envp = jnp.asarray(_pack128(np.asarray(sd.env_pack)))
+    if sd.has_sss:
+        buk = jnp.asarray(_pack128(np.asarray(sd.sss_bucket)))
+        win = jnp.asarray(_pack128(np.asarray(sd.sss_window)))
+    else:
+        buk = jnp.zeros((1, 128), jnp.int32)
+        win = jnp.zeros((1, 128), jnp.float32)
+    ota = jnp.asarray(np.asarray(sd.obj_total_area)[:, None], jnp.float32)
+
+    e_cnt = sd.n_emit
+    zc = jnp.zeros((max(e_cnt, 1), 7), jnp.float32)
+    ltab = (jnp.concatenate(
+        [sd.light_p1, sd.light_p2, sd.light_p3, zc], axis=1)
+        if e_cnt else jnp.zeros((1, 16), jnp.float32))
+    pad_l = (-ltab.shape[0]) % 8
+    if pad_l:
+        ltab = jnp.concatenate([ltab, jnp.zeros((pad_l, 16), jnp.float32)])
+    lights2 = (jnp.concatenate(
+        [sd.light_norm, sd.light_emis, sd.light_area[:, None],
+         sd.emit_idx[:, None].astype(jnp.float32)], axis=1)
+        if e_cnt else jnp.zeros((1, 8), jnp.float32))
+
+    out = (trimat, envp, buk, win, ota, ltab, lights2)
+    _pack_cache[key] = (weakref.ref(sd), out)
+    if len(_pack_cache) > 8:
+        for k in [k for k, v in _pack_cache.items() if v[0]() is None]:
+            del _pack_cache[k]
+    return out
+
+
+def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
+                     interpret=None) -> Film:
+    """Whole-film megakernel render -> Film (pool/scan-parity radiance)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import mega as megak
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    trimat, envp, buk, win, ota, ltab, lights2 = _tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(cam.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    ints = jnp.zeros((1, 8), jnp.int32)
+    kcfg = cfg.replace(spp=1)  # kernel statics: spp passed separately
+    out = megak.render_mega(
+        sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+        sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
+        trimat, envp, buk, win, ota,
+        cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
+        env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+        nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
+        sample_base=int(film.count), gather=cfg.mega_gather,
+        interpret=interpret)
+    rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
+        cfg.height, cfg.width, 3)
+    return Film(accum=film.accum + rad,
+                count=film.count + jnp.int32(cfg.spp))

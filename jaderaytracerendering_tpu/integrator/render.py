@@ -286,6 +286,16 @@ def render_film(
     cfg.engine='pool' uses the respawn-compacted persistent ray pool
     (integrator/pool.py, ~2x over the scan engine); 'scan' runs fixed
     wavefront launches (also the multi-chip building block)."""
+    if cfg.engine == "mega" and cfg.integrator == "full":
+        from . import mega as mega_mod
+
+        if mega_mod.eligible(sd, cfg):
+            film = mega_mod.render_film_mega(sd, cam, cfg, film=film)
+            if progress:
+                progress(cfg.spp, cfg.spp)
+            return film
+        # ineligible scene (refract / too large for VMEM): pool fallback
+        cfg = cfg.replace(engine="pool")
     if cfg.engine == "pool" and cfg.integrator == "full":
         from . import pool as pool_mod
 

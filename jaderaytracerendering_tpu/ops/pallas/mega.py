@@ -1,0 +1,618 @@
+"""Pallas TPU MEGAKERNEL: the whole render in ONE kernel launch.
+
+The reference's entire render is one kernel launch with zero
+inter-stage HBM traffic (`render_pixel<<<grid, block>>>`,
+PathTrace.cu:1725-1731): each CUDA thread owns a pixel and loops over
+samples and bounces privately. This kernel is the TPU-native analogue:
+
+  - grid = pixel TILES of TM=128 lanes (lane i of tile t owns pixel
+    t*TM + i — film writes are DENSE lane writes, no scatter, no
+    respawn compaction: a retired lane simply starts ITS OWN pixel's
+    next sample);
+  - per tile, a `lax.while_loop` runs the pool engine's exact loop body
+    (bounce actives -> resolve -> accumulate -> spawn fresh) entirely
+    in VMEM/registers until every lane has consumed `spp` samples;
+  - the scene lives whole in VMEM (f32 cluster coefficients, packed
+    row tables); per-bounce row/env/CDF fetches are in-kernel gathers
+    from 128-lane-packed tables (see scene.mega_pack);
+  - pixel-tile lanes share nearly identical primary rays, so the
+    cluster sweep's tile unions are far tighter than the pool's
+    respawn-shuffled batches.
+
+Semantics are pinned to the pool/scan engines: the SAME value-level
+implementations run in-kernel (wavefront.bounce_front,
+wavefront.resolve_tail, sampling.*, counter RNG keyed by
+(pixel, sample, bounce, site)), so radiance parity with the oracle
+holds lane-for-lane up to FMA contraction ulps. Per-pixel sample order
+(ascending) matches the pool's work-queue assignment (pixel p receives
+sample indices {p, p+npix, ...} -> smp 0..spp-1).
+
+Gating (integrator/mega.py): VMEM-resident scenes only (the fused
+sweep's c_pad <= 2048 class), has_refract=False for now (the direct
+refraction march would nest ~32 traces in-kernel; such scenes fall
+back to the pool engine).
+
+Trace core: a value-returning re-expression of the fused cluster
+sweep (ops/pallas/cluster_sweep_fused.py — slab + MXU cumsum
+compaction + bf16x3 Moller-Trumbore visits + deferred reduction),
+equivalence-pinned by tests/test_mega.py against the scan engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core import vecmath as vm
+from ...core.vecmath import V3, vwhere
+from .. import intersect
+
+INF = intersect.INF
+TM = 128
+
+
+# --------------------------------------------------------------------------
+# in-kernel gathers from 128-lane-packed tables (scene.mega_pack layout)
+# --------------------------------------------------------------------------
+
+def _take_rows(tab_ref, ids_row, idsl_ref, mode: str):
+    """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128].
+
+    mode 'take' uses Mosaic's dynamic gather; 'loop' is the proven
+    fallback (per-lane dynamic SUBLANE indexing via a [TM, 1] scratch,
+    the cluster_sweep_fused ids_ref pattern)."""
+    tm = ids_row.shape[1]
+    if mode == "take":
+        return jnp.take(tab_ref[:], ids_row[0], axis=0)
+    idsl_ref[:] = jnp.transpose(ids_row, (1, 0))
+
+    def one(l, acc):
+        row = jax.lax.dynamic_slice(
+            tab_ref[:], (idsl_ref[l, 0], 0), (1, tab_ref.shape[1]))
+        return jax.lax.dynamic_update_slice(acc, row, (l, 0))
+
+    return jax.lax.fori_loop(
+        0, tm, one, jnp.zeros((tm, tab_ref.shape[1]), tab_ref[:].dtype))
+
+
+def _sel4(rows, sub_row, width: int):
+    """rows [TM, 128] -> [TM, width]: lane block ``sub``*width per lane
+    (sub [1, TM] i32 in 0..128//width-1) via a static where-chain
+    (dynamic lane slices must be 128-aligned on TPU)."""
+    n = 128 // width
+    sub_t = jnp.transpose(sub_row, (1, 0))            # [TM, 1]
+    out = rows[:, 0:width]
+    for j in range(1, n):
+        out = jnp.where(sub_t == j,
+                        rows[:, j * width:(j + 1) * width], out)
+    return out
+
+
+def _rows_fetch(trimat_ref, idsl_ref, idx_row, mode):
+    """Combined tri++mat rows for triangle ids [1, TM] -> (trow [16, TM],
+    mrow [16, TM]) — the in-kernel twin of wavefront._tri_mat_rows_t.
+    Table: tri_mat_table [T, 32] packed 4 rows per 128-lane row."""
+    rows = _take_rows(trimat_ref, idx_row // 4, idsl_ref, mode)
+    both = _sel4(rows, idx_row % 4, 32)               # [TM, 32]
+    both_t = jnp.transpose(both, (1, 0))              # [32, TM]
+    return both_t[0:16], both_t[16:32]
+
+
+def _env_sample(env_ref, idsl_ref, d: V3, shape, clamp, mode):
+    """In-kernel twin of envmap.sample_env_packed_p ([1, TM] planes):
+    one row gather from the packed 2x2 bilinear table (8 entries of 16
+    per 128-lane row) + identical f32 math/rounding order."""
+    h, w = shape
+    u = jnp.arctan2(d.z, d.x) / (2.0 * 3.1415926) + 0.5
+    v = 1.0 - (jnp.arcsin(jnp.clip(d.y, -1.0, 1.0)) / 3.1415926 + 0.5)
+    fx = u * w - 0.5
+    fy = v * h - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    tx = fx - x0
+    ty = fy - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
+    rid = (y0i + 1) * (w + 1) + (x0i + 1)             # [1, TM]
+    rows = _take_rows(env_ref, rid // 8, idsl_ref, mode)
+    rowt = jnp.transpose(_sel4(rows, rid % 8, 16), (1, 0))  # [16, TM]
+    c00 = vm.v3rows(rowt, 0)
+    c01 = vm.v3rows(rowt, 3)
+    c10 = vm.v3rows(rowt, 6)
+    c11 = vm.v3rows(rowt, 9)
+    color = (c00 * (1 - tx) * (1 - ty) + c01 * tx * (1 - ty)
+             + c10 * (1 - tx) * ty + c11 * tx * ty)
+    return V3(jnp.minimum(color.x, clamp), jnp.minimum(color.y, clamp),
+              jnp.minimum(color.z, clamp))
+
+
+def _cdf_pick(buk_ref, win_ref, idsl_ref, u, obj, ota, nb: int,
+              cdf_window: int, mode):
+    """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
+    bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
+    extraction) -> window row (CDF_WINDOW prefix f32 + CDF_WINDOW ids,
+    packed 128//(2*CDF_WINDOW) per row) -> exact windowed count."""
+    tm = u.shape[1]
+    b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
+    bid = obj * nb + b                                # [1, TM]
+    rows = _take_rows(buk_ref, bid // 64, idsl_ref, mode).astype(jnp.float32)
+    p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
+    io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
+    jlo = jnp.transpose(jnp.sum(jnp.where(io == p2_t, rows, 0.0),
+                                axis=1, keepdims=True),
+                        (1, 0)).astype(jnp.int32)     # [1, TM]
+    jhi = jnp.transpose(jnp.sum(jnp.where(io == p2_t + 1, rows, 0.0),
+                                axis=1, keepdims=True),
+                        (1, 0)).astype(jnp.int32)
+    target = u * ota
+    per = 128 // (2 * cdf_window)
+    wrows = _take_rows(win_ref, jlo // per, idsl_ref, mode)
+    wrow = jnp.transpose(_sel4(wrows, jlo % per, 2 * cdf_window),
+                         (1, 0))                      # [2W, TM]
+    width = jhi - jlo
+    cnt = jnp.zeros_like(jlo)
+    for k in range(cdf_window):
+        cnt = cnt + ((k < width) & (wrow[k:k + 1] < target)).astype(
+            jlo.dtype)
+    picked = jnp.zeros_like(target)
+    for k in range(cdf_window):
+        picked = picked + jnp.where(cnt == k, wrow[cdf_window + k
+                                                   :cdf_window + k + 1], 0.0)
+    return picked.astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# value-returning cluster sweep (cluster_sweep_fused semantics)
+# --------------------------------------------------------------------------
+
+def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
+           ids_ref, cnt_ref, btw_ref, bw_ref, *, kp, cp, n_clusters,
+           l_cap, anyhit: bool, gate):
+    """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
+    [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
+
+    Identical slab/compaction/visit semantics to cluster_sweep_fused
+    (same dist>0 slab, ascending-id candidate order, bf16x3 MT with
+    sign-exact compares, deferred reduction); coefficients here are the
+    f32 [C, 16, 4Kp] table split in-kernel per visit (the VMEM-mode
+    form of cluster_sweep_stream.test_cluster). ``gate`` [1, 1]-able
+    bool: False skips all work (outputs INF)."""
+    tm = feats_t.shape[1]
+    feats = jnp.transpose(feats_t, (1, 0))            # [TM, 16]
+    ex = jnp.transpose(ex_row, (1, 0))                # [TM, 1]
+
+    t0v = t1v = None
+    for ax in range(3):
+        d_c = feats[:, ax:ax + 1]
+        o_c = feats[:, 6 + ax:7 + ax]
+        inv = 1.0 / d_c
+        fa = (planes_ref[3 + ax:4 + ax, :] - o_c) * inv
+        na = (planes_ref[ax:ax + 1, :] - o_c) * inv
+        hi = jnp.maximum(fa, na)
+        lo = jnp.minimum(fa, na)
+        t1v = hi if t1v is None else jnp.minimum(t1v, hi)
+        t0v = lo if t0v is None else jnp.maximum(t0v, lo)
+    dist_pos = jnp.where(t0v > 0.0, t0v, t1v) > 0.0
+    ray_ok = (jnp.abs(feats[:, 0:1]) + jnp.abs(feats[:, 1:2])
+              + jnp.abs(feats[:, 2:3])) > 0.0
+    hits = (t1v >= t0v) & dist_pos & ray_ok           # [TM, Cp]
+    cid_i = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+    act = jnp.max(hits.astype(jnp.float32), axis=0, keepdims=True)
+    act = act * (cid_i < n_clusters).astype(jnp.float32)
+
+    cnt = jnp.sum(act, axis=1, keepdims=True)
+    cnt_ref[0:1, 0:1] = jnp.where(gate, cnt.astype(jnp.int32), 0)
+    n_act = cnt_ref[0, 0]
+
+    @pl.when((n_act > 0) & (n_act <= l_cap))
+    def _():
+        pos = jnp.dot(act, triu_ref[:], preferred_element_type=jnp.float32)
+        l_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (l_cap, cp), 0).astype(jnp.float32)
+        sel = (pos == l_iota + 1.0) & (act > 0.0)
+        ids_ref[:] = jnp.sum(
+            jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
+            axis=1, keepdims=True).astype(jnp.int32)
+
+    @pl.when(n_act > 0)
+    def _():
+        if anyhit:
+            btw_ref[:] = jnp.zeros((tm, kp), jnp.float32)
+        else:
+            btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
+            bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
+
+        fh = feats.astype(jnp.bfloat16)
+        fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        fcat = jnp.concatenate([fh, fh, fl], axis=1)  # [TM, 48]
+        k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+
+        def test_cluster(cid):
+            coef = coefs_ref[pl.ds(cid, 1)][0]        # [16, 4Kp] f32
+            ch = coef.astype(jnp.bfloat16)
+            cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
+            ccat = jnp.concatenate([ch, cl_, ch], axis=0)
+            s = jnp.dot(fcat, ccat, preferred_element_type=jnp.float32)
+            a = s[:, 0 * kp:1 * kp]
+            su = s[:, 1 * kp:2 * kp]
+            sv = s[:, 2 * kp:3 * kp]
+            st = s[:, 3 * kp:4 * kp]
+            begin = begin_ref[cid, 0]
+            ok = ((su * a >= 0.0) & (sv * a >= 0.0)
+                  & ((su + sv) * a <= a * a) & (st * a > 0.0)
+                  & (k_io + begin != ex))
+            if anyhit:
+                btw_ref[:] = jnp.maximum(btw_ref[:], ok.astype(jnp.float32))
+            else:
+                t = jnp.where(ok, st / a, INF)
+                better = t < btw_ref[:]
+                btw_ref[:] = jnp.where(better, t, btw_ref[:])
+                bw_ref[:] = jnp.where(better, begin, bw_ref[:])
+
+        @pl.when(n_act <= l_cap)
+        def _():
+            def visit(l, carry):
+                cid = ids_ref[l, 0] - 1
+
+                @pl.when(cid >= 0)
+                def _():
+                    test_cluster(cid)
+
+                return carry
+
+            jax.lax.fori_loop(0, n_act, visit, 0)
+
+        @pl.when(n_act > l_cap)
+        def _():
+            def dense(c_, carry):
+                test_cluster(c_)
+                return carry
+
+            jax.lax.fori_loop(0, n_act * 0 + n_clusters, dense, 0)
+
+    empty = n_act == 0
+    if anyhit:
+        hit_any = jnp.max(btw_ref[:], axis=1, keepdims=True) > 0.0
+        bt = jnp.where(empty | ~jnp.transpose(hit_any, (1, 0)), INF, 1.0)
+        return bt, jnp.zeros((1, tm), jnp.int32)
+    btw = btw_ref[:]
+    tmin = jnp.min(btw, axis=1, keepdims=True)
+    idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2 ** 30))
+    bt = jnp.where(empty, INF, jnp.transpose(tmin, (1, 0)))
+    bi = jnp.where(empty, 0,
+                   jnp.transpose(jnp.min(sel2, axis=1, keepdims=True),
+                                 (1, 0)))
+    return bt, jnp.where(bt < INF, bi, 0)
+
+
+def _unit_p(v: V3) -> V3:
+    return vm.vnormalize(v, jnp, eps=1e-30)
+
+
+def _feats16(o: V3, d: V3):
+    """[16, TM] ray features (gemm_intersect.ray_features_t16 layout)
+    with the trace path's double normalization (wavefront._nearest_planes
+    / bounce_front._unit2): dead zero-dir lanes become NaN rows = miss."""
+    d_u = vm.vnormalize(_unit_p(d), jnp)
+    w = vm.vcross(d_u, o)
+    tm = o.x.shape[1]
+    ones = jnp.ones((1, tm), jnp.float32)
+    zrow = jnp.zeros((1, tm), jnp.float32)
+    return jnp.concatenate([
+        d_u.x, d_u.y, d_u.z, w.x, w.y, w.z, o.x, o.y, o.z, ones,
+        zrow, zrow, zrow, zrow, zrow, zrow]), d_u
+
+
+# --------------------------------------------------------------------------
+# the megakernel
+# --------------------------------------------------------------------------
+
+def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
+                 begin_ref, triu_ref, coefs_ref, trimat_ref, env_ref,
+                 buk_ref, win_ref, ota_ref, out_ref,
+                 fst_ref, mst_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
+                 idsl_ref, *, cfg, npix: int, e_cnt: int, has_sss: bool,
+                 kp: int, cp: int, n_clusters: int, l_cap: int,
+                 env_shape, nb: int, cdf_window: int, spp: int,
+                 sample_base: int, max_iters: int, gather: str):
+    from ...core import camera as camera_mod
+    from ...core import rng
+    from ...core.rng import DrawSites as S
+    from ...integrator import sampling, wavefront
+
+    tm = TM
+    tile = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
+    pix = tile * tm + lane                             # [1, TM] i32
+    pix_ok = pix < npix
+    pix_u = pix.astype(jnp.uint32)
+    seed = cfg.seed
+    width, height = cfg.width, cfg.height
+    zrow = jnp.zeros((1, tm), jnp.float32)
+    zi = jnp.zeros((1, tm), jnp.int32)
+
+    # eye / rotation scalars
+    eye = V3(cam_ref[0:1, 16:17] + zrow, cam_ref[0:1, 17:18] + zrow,
+             cam_ref[0:1, 18:19] + zrow)
+
+    class _Mat:  # camera_rotate [1, 16] flat (4*col + row), spawn_front
+        def __getitem__(self, cr):
+            c, r = cr
+            return cam_ref[0:1, 4 * c + r:4 * c + r + 1]
+
+    class _Rows:  # [16, TM] block -> row-indexable (bounce_front.py)
+        def __init__(self, a):
+            self._a = a
+
+        def __getitem__(self, i):
+            if isinstance(i, int):
+                return self._a[i:i + 1]
+            return self._a[i]
+
+    lpt = lambda i, c: ltab_ref[i:i + 1, c:c + 1]
+    light_pts = [
+        (V3(lpt(i, 0), lpt(i, 1), lpt(i, 2)),
+         V3(lpt(i, 3), lpt(i, 4), lpt(i, 5)),
+         V3(lpt(i, 6), lpt(i, 7), lpt(i, 8)))
+        for i in range(e_cnt)
+    ]
+    l_norms = [V3(lights_ref[i:i + 1, 0:1], lights_ref[i:i + 1, 1:2],
+                  lights_ref[i:i + 1, 2:3]) for i in range(e_cnt)]
+    l_emises = [V3(lights_ref[i:i + 1, 3:4], lights_ref[i:i + 1, 4:5],
+                   lights_ref[i:i + 1, 5:6]) for i in range(e_cnt)]
+    l_areas = [lights_ref[i:i + 1, 6:7] for i in range(e_cnt)]
+    l_eidx = [lights_ref[i:i + 1, 7:8].astype(jnp.int32)
+              for i in range(e_cnt)]
+
+    sweep = functools.partial(
+        _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
+        triu_ref=triu_ref, coefs_ref=coefs_ref, ids_ref=ids_ref,
+        cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
+        n_clusters=n_clusters, l_cap=l_cap)
+
+    # ---- init per-tile state ----
+    fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
+    # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
+    # 4 smp (in-flight sample id), 5-7 spare
+    mst_ref[:] = jnp.zeros((8, tm), jnp.int32)
+    out_ref[:] = jnp.zeros((8, tm), jnp.float32)
+
+    def body(carry):
+        it, _ = carry
+        F = fst_ref[:]
+        M_ = mst_ref[:]
+        active = M_[0:1] != 0
+        hit_idx = M_[1:2]
+        b = M_[2:3]
+        ns = M_[3:4]
+        smp = M_[4:5]
+        smp_u = smp.astype(jnp.uint32)
+        ray_src = V3(F[0:1], F[1:2], F[2:3])
+        out_dir = V3(F[3:4], F[4:5], F[5:6])
+        t_put = V3(F[6:7], F[7:8], F[8:9])
+        l_acc = V3(F[9:10], F[10:11], F[11:12])
+        le0 = V3(F[12:13], F[13:14], F[14:15])
+        trow = _Rows(F[16:32])
+        mrow = _Rows(F[32:48])
+        tri = jnp.where(active, hit_idx, 0)
+
+        # ================= bounce actives (pool body order) =============
+        b1 = b.astype(jnp.uint32) + jnp.uint32(1)
+        sites = wavefront.BASE_SITES + [
+            S.LIGHT_BASE + 2 * i for i in range(e_cnt)
+        ] + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)]
+        us = [rng.uniform(jnp, pix_u, smp_u, b1, int(s), seed)
+              for s in sites]
+
+        if has_sss:
+            obj = trow[12].astype(jnp.int32)
+            ota = jnp.zeros((1, tm), jnp.float32)
+            for o_ in range(ota_ref.shape[0]):
+                ota = jnp.where(obj == o_, ota_ref[o_, 0], ota)
+            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, us[2], obj,
+                                 ota, nb, cdf_window, gather)
+            emis0 = vm.v3rows(mrow, 0)
+            _, _, _, _, sss_exit0, _, _, _ = wavefront._branch_masks(
+                active, us[0], us[1], mrow[7].astype(jnp.int32),
+                mrow[6].astype(jnp.int32), cfg, emis0, jnp)
+            exit_tri = jnp.where(sss_exit0, exit_tri, 0)
+            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, exit_tri,
+                                         gather)
+            erows = _Rows(jnp.concatenate([et_row, em_row]))
+            tot_a = jnp.zeros((1, tm), jnp.float32)
+            eobj = et_row[12:13].astype(jnp.int32)
+            for o_ in range(ota_ref.shape[0]):
+                tot_a = jnp.where(eobj == o_, ota_ref[o_, 0], tot_a)
+            pre = wavefront.FrontPre(us, erows, exit_tri, tot_a, None)
+        else:
+            pre = wavefront.FrontPre(us, None, None, None, None)
+
+        f = wavefront.bounce_front(active, ray_src, out_dir, tri, trow,
+                                   mrow, pre, light_pts, e_cnt, has_sss,
+                                   False, cfg, jnp)
+
+        # segment traces (light segs -> HDR any-hit -> continuation)
+        any_act = jnp.sum(active.astype(jnp.float32)) > 0.0
+        nee_o = vwhere(f.needs_nee, f.nee_src, 0.0, jnp)
+        l_oks = []
+        for i in range(e_cnt):
+            sf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.ldirs[i], 0.0,
+                                           jnp))
+            lbt, lbi = sweep(sf, f.nee_excl, anyhit=False, gate=any_act)
+            l_oks.append(f.l_gates[i] & (lbt < INF) & (lbi == l_eidx[i]))
+        hf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.hdir, 0.0, jnp))
+        hbt, _ = sweep(hf, f.nee_excl, anyhit=True, gate=any_act)
+        h_hit = hbt < INF
+        cf, _ = _feats16(vwhere(f.alive, f.cont_src, 0.0, jnp),
+                         vwhere(f.alive, f.cdir, 0.0, jnp))
+        c_bt, c_bi = sweep(cf, f.cont_excl, anyhit=False, gate=any_act)
+        c_hit = c_bt < INF
+        c_idx = jnp.where(c_hit, c_bi, 0)
+
+        # env radiance (hdir for NEE, cdir for mirror/miss sky) — both
+        # single eps-normalized, matching the pool's env2 fetch (p1 rows
+        # 6-8 raw hdir -> _unit_p; rows 9-11 = front's cdir_u)
+        hdir_u = _unit_p(f.hdir)
+        cdir_u = _unit_p(f.cdir)
+        sky = _env_sample(env_ref, idsl_ref, hdir_u, env_shape,
+                          cfg.hdr_clamp, gather)
+        sky_c = _env_sample(env_ref, idsl_ref, cdir_u, env_shape,
+                            cfg.hdr_clamp, gather)
+
+        # continuation-hit rows + resolve (bounce_resolve._kernel math)
+        crow_t, cmrow_t = _rows_fetch(trimat_ref, idsl_ref, c_idx, gather)
+        c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
+        dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
+            jnp, e_cnt, has_sss, False, cfg.rr_rate, cfg.sss_rate,
+            f.ldirs, l_oks, l_norms, l_emises, l_areas,
+            sky, sky_c, f.hdir, cdir_u, f.nee_norm, f.exit_norm, f.bss,
+            f.fr, f.fr_alb, f.emissive, c_obj_em, f.cont_src, f.ref_rate,
+            f.r0_sss, f.total_area, f.k, f.u_rr, c_bt,
+            f.sss_entry, f.sss_exit, f.is_mirror, f.is_dirref, f.alive,
+            active, f.emit_break, jnp.zeros_like(active), f.needs_nee,
+            c_hit, h_hit, f.ref_escaped)
+
+        l_acc = l_acc + t_put * dir_out
+        t_put = t_put * rate_out
+        b2 = jnp.where(active, b + 1, b)
+        depth_capped = accept & (b2 >= cfg.max_depth)
+        l_acc = l_acc + vwhere(depth_capped, t_put * dir_out, 0.0, jnp)
+        finished = (active & ~accept) | depth_capped
+        still = accept & ~depth_capped
+
+        l_final = vwhere(killed, 0.0, l_acc, jnp) + le0
+        contrib = vwhere(finished, l_final, 0.0, jnp)
+
+        ray_src2 = vwhere(accept, new_src, ray_src, jnp)
+        out_dir2 = vwhere(accept, -cdir_u, out_dir, jnp)
+        hit_idx2 = jnp.where(accept, c_idx, hit_idx)
+
+        # ================= spawn fresh lanes ============================
+        fresh = ~still
+        got = fresh & pix_ok & (ns < spp)
+        smp_n = jnp.where(got, ns + sample_base, smp)
+        smp_nu = smp_n.astype(jnp.uint32)
+        u1 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_X), seed)
+        u2 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_Y), seed)
+        px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(
+            jnp.float32)
+        py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(
+            jnp.float32)
+        if cfg.jitter == "cuda":
+            ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
+            ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
+        else:  # "gl"
+            ndc_x = -1.0 + 2.0 * (px + 0.5) / width + (u1 - 0.5) / width
+            ndc_y = -1.0 + 2.0 * (py + 0.5) / height + (u2 - 0.5) / height
+        dcam = V3(ndc_x, ndc_y,
+                  jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
+        dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
+        pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
+        any_got = jnp.sum(got.astype(jnp.float32)) > 0.0
+        p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
+                           anyhit=False, gate=any_got)
+        p_hit = p_bt < INF
+        p_idx = jnp.where(p_hit, p_bi, 0)
+        psky = _env_sample(env_ref, idsl_ref, d_u, env_shape,
+                           cfg.hdr_clamp, gather)
+        row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, p_idx, gather)
+
+        miss = got & ~p_hit
+        st_r = got & p_hit
+
+        # film: dense lane accumulation (lane == pixel)
+        O = out_ref[:]
+        film = V3(O[0:1], O[1:2], O[2:3]) + contrib \
+            + vwhere(miss, psky, 0.0, jnp)
+        n_ray = O[3:4] + active.astype(jnp.float32) * (e_cnt + 2) \
+            + got.astype(jnp.float32)
+
+        # next state merge (started lanes take the primary block)
+        ray_src3 = vwhere(st_r, eye + d_u * p_bt, ray_src2, jnp)
+        out_dir3 = vwhere(st_r, -d_u, out_dir2, jnp)
+        hit_idx3 = jnp.where(st_r, p_idx, hit_idx2)
+        b3 = jnp.where(st_r, 0, b2)
+        t_put3 = vwhere(st_r, V3(jnp.ones((1, tm), jnp.float32),
+                                 jnp.ones((1, tm), jnp.float32),
+                                 jnp.ones((1, tm), jnp.float32)),
+                        t_put, jnp)
+        l_acc3 = vwhere(st_r, 0.0, l_acc, jnp)
+        le03 = vwhere(st_r, V3(p_mrow[0:1], p_mrow[1:2], p_mrow[2:3]),
+                      le0, jnp)
+        # started lanes take the primary rows; everyone else the
+        # continuation rows (idle lanes get c_idx=0 = the pool's tri-0
+        # column — inert, the active mask gates all shading)
+        st2d = st_r[0]
+        trow3 = jnp.where(st2d, row0, crow_t)
+        mrow3 = jnp.where(st2d, p_mrow, cmrow_t)
+        active3 = still | st_r
+        ns2 = jnp.where(got, ns + 1, ns)
+
+        fst_ref[:] = jnp.concatenate([
+            ray_src3.x, ray_src3.y, ray_src3.z,
+            out_dir3.x, out_dir3.y, out_dir3.z,
+            t_put3.x, t_put3.y, t_put3.z,
+            l_acc3.x, l_acc3.y, l_acc3.z,
+            le03.x, le03.y, le03.z, zrow, trow3, mrow3])
+        mst_ref[:] = jnp.concatenate([
+            active3.astype(jnp.int32), hit_idx3, b3, ns2, smp_n,
+            zi, zi, zi])
+        out_ref[:] = jnp.concatenate([
+            film.x, film.y, film.z, n_ray,
+            O[4:5] + 1.0, zrow, zrow, zrow])
+
+        cont = jnp.sum((active3 | (pix_ok & (ns2 < spp))).astype(
+            jnp.float32)) > 0.0
+        return it + 1, cont.astype(jnp.int32)
+
+    jax.lax.while_loop(
+        lambda c: (c[1] != 0) & (c[0] < max_iters), body, (0, 1))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "env_shape", "nb",
+    "cdf_window", "spp", "sample_base", "l_cap", "gather", "interpret"))
+def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
+                sd_triu, sd_coef, trimat, envp, buk, win, ota, *, cfg, npix,
+                e_cnt, has_sss, env_shape, nb, cdf_window, spp, sample_base,
+                l_cap=64, gather="take", interpret=False):
+    """One launch = the whole render: returns [8, Mp] f32 with rows
+    0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
+    4 loop iterations (per tile)."""
+    mp = -(-npix // TM) * TM
+    kp = sd_coef.shape[2] // 4
+    cp = sd_planes.shape[1]
+    max_iters = spp * (cfg.max_depth + 2) + 4
+    kern = functools.partial(
+        _mega_kernel, cfg=cfg, npix=int(npix), e_cnt=int(e_cnt),
+        has_sss=bool(has_sss), kp=kp, cp=cp, n_clusters=int(n_clusters),
+        l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
+        cdf_window=int(cdf_window), spp=int(spp),
+        sample_base=int(sample_base), max_iters=int(max_iters),
+        gather=gather)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // TM,),
+        in_specs=[whole] * 13,
+        out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((48, TM), jnp.float32),   # fst state
+            pltpu.VMEM((8, TM), jnp.int32),      # mst state
+            pltpu.VMEM((l_cap, 1), jnp.int32),   # sweep candidate ids
+            pltpu.VMEM((1, 1), jnp.int32),       # sweep count
+            pltpu.VMEM((TM, kp), jnp.float32),   # best-t wide
+            pltpu.VMEM((TM, kp), jnp.int32),     # winner begin wide
+            pltpu.VMEM((TM, 1), jnp.int32),      # gather loop ids
+        ],
+        interpret=interpret,
+    )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
+      trimat, envp, buk, win, ota)
+    return out

@@ -37,7 +37,12 @@ class RenderConfig:
     #                                   'gemm' | 'bvh' | 'brute'
     integrator: str = "full"          # 'full' (NEE megakernel) | 'preview'
     preview_bounces: int = 2          # fshader_preview.fsh:397
-    engine: str = "pool"              # 'pool' (respawn compaction) | 'scan'
+    engine: str = "pool"              # 'pool' (respawn compaction) |
+    # 'scan' | 'mega' (whole-render single-launch Pallas megakernel,
+    # integrator/mega.py; ineligible scenes fall back to the pool)
+    mega_gather: str = "take"         # megakernel in-kernel row-gather
+    # mechanism: 'take' (Mosaic dynamic gather) | 'loop' (per-lane
+    # dynamic sublane indexing — the proven fallback)
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m

@@ -1,0 +1,100 @@
+"""Megakernel engine: radiance parity with the scan/pool engines.
+
+The single-launch whole-render kernel (ops/pallas/mega.py, the TPU
+analogue of PathTrace.cu:1725's render_pixel launch) must reproduce the
+scan engine's film — same RNG streams, same branch semantics, same
+per-pixel sample set — on every eligible scene class. Interpret-mode
+kernels on the CPU backend."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jaderaytracerendering_tpu.integrator import mega, render as R
+from jaderaytracerendering_tpu.models import demo
+from jaderaytracerendering_tpu.scene import material
+from jaderaytracerendering_tpu.scene.scene import assemble
+from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+
+def _cfg(**kw):
+    base = dict(width=8, height=8, spp=4, spp_batch=4, max_depth=4,
+                traversal="sweep", rays_per_launch=64)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def _films(ds, cfg, **mega_kw):
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    a = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    assert mega.eligible(sd, cfg)
+    b = np.asarray(
+        mega.render_film_mega(sd, ds.camera, cfg, **mega_kw).mean())
+    return sd, a, b
+
+
+def test_mega_jade_sss_matches_scan():
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd, a, b = _films(ds, _cfg(max_depth=6))
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+def test_mega_cornell_matches_scan():
+    ds = demo.cornell_scene()
+    _, a, b = _films(ds, _cfg())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+def test_mega_gather_modes_agree():
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2)
+    a = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_gather="take")).mean())
+    b = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_gather="loop")).mean())
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mega_film_resume():
+    ds = demo.tiny_scene()
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2)
+    f1 = mega.render_film_mega(sd, ds.camera, cfg)
+    f2 = mega.render_film_mega(sd, ds.camera, cfg, film=f1)
+    f4 = mega.render_film_mega(sd, ds.camera, cfg.replace(spp=4))
+    assert int(f2.count) == 4
+    np.testing.assert_allclose(np.asarray(f2.mean()), np.asarray(f4.mean()),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mega_refract_scene_falls_back_to_pool():
+    ds = demo.jade_scene(n_buddha_tris=100, env_shape=(16, 32))
+    ds.objects[0] = dataclasses.replace(
+        ds.objects[0],
+        material=dataclasses.replace(
+            ds.objects[0].material, refract_mode=material.DIR_REFRACT,
+            refract_index=1.5, refract_rate=(0.9, 0.9, 0.9)))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(engine="mega", spp=2, max_depth=3)
+    assert sd.has_refract and not mega.eligible(sd, cfg)
+    # render_film routes the ineligible scene to the pool engine
+    a = np.asarray(R.render_film(sd, ds.camera, cfg).mean())
+    b = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="pool")).mean())
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_mega_via_render_film_routing():
+    ds = demo.diffuse_scene()
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(engine="mega", spp=2)
+    f = R.render_film(sd, ds.camera, cfg)
+    assert int(f.count) == 2
+    assert np.isfinite(np.asarray(f.accum)).all()
