@@ -119,7 +119,8 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
         jnp.asarray(cam.eye, jnp.float32),
         jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
-    ints = jnp.zeros((1, 8), jnp.int32)
+    ints = jnp.zeros((8,), jnp.int32).at[2].set(
+        jnp.asarray(film.count, jnp.int32)).reshape(1, 8)
     kcfg = cfg.replace(spp=1)  # kernel statics: spp passed separately
     out = megak.render_mega(
         sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
@@ -128,8 +129,40 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
         env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
         nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
-        sample_base=int(film.count), gather=cfg.mega_gather,
-        interpret=interpret)
+        gather=cfg.mega_gather, interpret=interpret)
+    rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
+        cfg.height, cfg.width, 3)
+    return Film(accum=film.accum + rad,
+                count=film.count + jnp.int32(cfg.spp))
+
+
+def render_film_preview_mega(sd, cam, cfg: RenderConfig, film=None,
+                             interpret=None) -> Film:
+    """One-launch progressive preview frame (2-bounce integrator)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import mega as megak
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    trimat, envp, _, _, _, _, _ = _tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(cam.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    ints = jnp.zeros((8,), jnp.int32).at[2].set(
+        jnp.asarray(film.count, jnp.int32)).reshape(1, 8)
+    out = megak.render_preview_mega(
+        sd.n_clusters, ints, cam24, sd.cluster_planes,
+        sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef, trimat,
+        envp, cfg=cfg.replace(spp=1), npix=npix,
+        env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+        spp=int(cfg.spp), max_bounce=int(cfg.preview_bounces),
+        gather=cfg.mega_gather, interpret=interpret)
     rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
         cfg.height, cfg.width, 3)
     return Film(accum=film.accum + rad,

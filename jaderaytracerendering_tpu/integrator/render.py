@@ -222,6 +222,13 @@ def _preview_frame(accum, sd, eye, cam_rot, sample_base, n_after,
     return accum, tonemap.finalize(rad, jnp, cfg.tonemap)
 
 
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _display_frame(accum, count, mode):
+    """Film -> tonemapped u8 display image (flipped), device-side."""
+    rad = accum[::-1] / jnp.maximum(count, 1).astype(jnp.float32)
+    return tonemap.finalize(rad, jnp, mode)
+
+
 def render_film_preview(sd, cam, cfg: RenderConfig,
                         film: Optional[Film] = None,
                         display: bool = False):
@@ -230,6 +237,16 @@ def render_film_preview(sd, cam, cfg: RenderConfig,
     With ``display`` returns ``(film, u8_frame)`` where the [H, W, 3] u8
     frame is computed device-side inside the final frame's dispatch."""
     npix = cfg.width * cfg.height
+    if cfg.engine == "mega":
+        from . import mega as mega_mod
+
+        if mega_mod.eligible(sd, cfg):
+            film = mega_mod.render_film_preview_mega(sd, cam, cfg,
+                                                     film=film)
+            if not display:
+                return film
+            return film, _display_frame(film.accum, film.count,
+                                        cfg.tonemap)
     if film is None:
         film = Film.create(cfg.height, cfg.width)
     eye = jnp.asarray(cam.eye, jnp.float32)

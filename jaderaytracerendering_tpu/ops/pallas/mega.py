@@ -319,7 +319,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  idsl_ref, *, cfg, npix: int, e_cnt: int, has_sss: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
-                 sample_base: int, max_iters: int, gather: str):
+                 max_iters: int, gather: str):
     from ...core import camera as camera_mod
     from ...core import rng
     from ...core.rng import DrawSites as S
@@ -336,7 +336,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     zrow = jnp.zeros((1, tm), jnp.float32)
     zi = jnp.zeros((1, tm), jnp.int32)
 
-    # eye / rotation scalars
+    # eye / rotation scalars; dynamic sample base (ints col 2 — the
+    # spawn_front layout, [1, 1] slice for Mosaic-safe broadcast) so
+    # progressive resumes don't recompile
+    sample_base = ints_ref[0:1, 2:3]
     eye = V3(cam_ref[0:1, 16:17] + zrow, cam_ref[0:1, 17:18] + zrow,
              cam_ref[0:1, 18:19] + zrow)
 
@@ -576,10 +579,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "env_shape", "nb",
-    "cdf_window", "spp", "sample_base", "l_cap", "gather", "interpret"))
+    "cdf_window", "spp", "l_cap", "gather", "interpret"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 sd_triu, sd_coef, trimat, envp, buk, win, ota, *, cfg, npix,
-                e_cnt, has_sss, env_shape, nb, cdf_window, spp, sample_base,
+                e_cnt, has_sss, env_shape, nb, cdf_window, spp,
                 l_cap=64, gather="take", interpret=False):
     """One launch = the whole render: returns [8, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
@@ -593,8 +596,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         has_sss=bool(has_sss), kp=kp, cp=cp, n_clusters=int(n_clusters),
         l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
         cdf_window=int(cdf_window), spp=int(spp),
-        sample_base=int(sample_base), max_iters=int(max_iters),
-        gather=gather)
+        max_iters=int(max_iters), gather=gather)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
@@ -616,3 +618,163 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
     )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
       trimat, envp, buk, win, ota)
     return out
+
+
+# --------------------------------------------------------------------------
+# preview megakernel: the interactive 2-bounce integrator, one launch/frame
+# --------------------------------------------------------------------------
+
+def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
+                    coefs_ref, trimat_ref, env_ref, out_ref,
+                    ids_ref, cnt_ref, btw_ref, bw_ref, idsl_ref, *,
+                    cfg, npix: int, kp: int, cp: int, n_clusters: int,
+                    l_cap: int, env_shape, spp: int,
+                    max_bounce: int, gather: str):
+    """In-kernel twin of integrator/preview.trace_preview_p (the
+    reference's interactive shader, fshader_preview.fsh:332-375):
+    uniform-hemisphere bounces, pdf 1/2pi, multiplicative history, no
+    NEE. One launch renders a whole progressive frame; sample/bounce
+    loops are static (spp is the per-frame batch, 1-4)."""
+    from ...core import camera as camera_mod
+    from ...core import rng
+    from ...core.rng import DrawSites as S
+    from ...integrator import sampling
+    from ...integrator.sampling import PI
+
+    tm = TM
+    tile = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
+    pix = tile * tm + lane
+    pix_ok = pix < npix
+    pix_u = pix.astype(jnp.uint32)
+    seed = cfg.seed
+    width, height = cfg.width, cfg.height
+    zrow = jnp.zeros((1, tm), jnp.float32)
+
+    eye = V3(cam_ref[0:1, 16:17] + zrow, cam_ref[0:1, 17:18] + zrow,
+             cam_ref[0:1, 18:19] + zrow)
+
+    class _Mat:
+        def __getitem__(self, cr):
+            c, r = cr
+            return cam_ref[0:1, 4 * c + r:4 * c + r + 1]
+
+    sweep = functools.partial(
+        _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
+        triu_ref=triu_ref, coefs_ref=coefs_ref, ids_ref=ids_ref,
+        cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
+        n_clusters=n_clusters, l_cap=l_cap, anyhit=False)
+
+    film = V3(zrow, zrow, zrow)
+    px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
+    py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
+    true_g = jnp.float32(1.0) > 0.0
+    sample_base = ints_ref[0:1, 2:3]
+
+    for s in range(spp):
+        smp_u = (jnp.zeros((1, tm), jnp.int32) + sample_base
+                 + s).astype(jnp.uint32)
+        u1 = rng.uniform(jnp, pix_u, smp_u, 0, int(S.JITTER_X), seed)
+        u2 = rng.uniform(jnp, pix_u, smp_u, 0, int(S.JITTER_Y), seed)
+        if cfg.jitter == "cuda":
+            ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
+            ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
+        else:
+            ndc_x = -1.0 + 2.0 * (px + 0.5) / width + (u1 - 0.5) / width
+            ndc_y = -1.0 + 2.0 * (py + 0.5) / height + (u2 - 0.5) / height
+        dcam = V3(ndc_x, ndc_y, jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
+        dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
+        pf, d_u = _feats16(eye, vwhere(pix_ok, dirs, 0.0, jnp))
+        bt0, bi0 = sweep(pf, jnp.full((1, tm), -1, jnp.int32), gate=true_g)
+        hit0 = bt0 < INF
+        idx0 = jnp.where(hit0, bi0, 0)
+        sky0 = _env_sample(env_ref, idsl_ref, d_u, env_shape,
+                           cfg.hdr_clamp, gather)
+        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, idx0, gather)
+        le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
+
+        ones = jnp.ones((1, tm), jnp.float32)
+        lo = V3(zrow, zrow, zrow)
+        history = V3(ones, ones, ones)
+        active = hit0
+        point = eye + d_u * bt0
+        view_dir = d_u
+        tri = idx0
+
+        for b in range(max_bounce):
+            trow, mrow = _rows_fetch(trimat_ref, idsl_ref, tri, gather)
+            normal = V3(trow[9:10], trow[10:11], trow[11:12])
+            brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
+            w1 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_COS),
+                             seed)
+            w2 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_PHI),
+                             seed)
+            wi = sampling.uniform_sphere_p(w1, w2, jnp)
+            flip = vm.vdot(wi, normal) * vm.vdot(view_dir, normal) > 0
+            wi = vwhere(flip, -wi, wi, jnp)
+            wi = vwhere(active, wi, 0.0, jnp)
+
+            bf, wi_u = _feats16(point, wi)
+            ex = jnp.where(active, tri, -2)
+            bt, bi = sweep(bf, ex, gate=jnp.sum(
+                active.astype(jnp.float32)) > 0.0)
+            hit = bt < INF
+            idx = jnp.where(hit, bi, 0)
+            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, idx, gather)
+            n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
+            cos_i = jnp.abs(vm.vdot(wi, normal))
+            f_r = brdf * (1.0 / PI)
+            weight = f_r * cos_i * (2.0 * PI)
+
+            sky = _env_sample(env_ref, idsl_ref, wi_u, env_shape,
+                              cfg.hdr_clamp, gather)
+            miss = active & ~hit
+            lo = lo + vwhere(miss, history * sky * weight, 0.0, jnp)
+            lo = lo + vwhere(active & hit, history * n_emis * weight, 0.0,
+                             jnp)
+            cont = active & hit
+            history = vwhere(cont, history * weight, history, jnp)
+            point = vwhere(cont, point + wi_u * bt, point, jnp)
+            view_dir = vwhere(cont, wi_u, view_dir, jnp)
+            tri = jnp.where(cont, idx, tri)
+            active = cont
+
+        film = film + vwhere(hit0, le0 + lo, sky0, jnp)
+
+    out_ref[:] = jnp.concatenate([
+        film.x, film.y, film.z, zrow, zrow, zrow, zrow, zrow])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_clusters", "cfg", "npix", "env_shape", "spp",
+    "max_bounce", "l_cap", "gather", "interpret"))
+def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
+                        sd_coef, trimat, envp, *, cfg, npix, env_shape,
+                        spp, max_bounce=2, l_cap=64,
+                        gather="take", interpret=False):
+    """One launch = one whole progressive preview frame ([8, Mp] f32,
+    rows 0-2 the per-pixel radiance sum over ``spp`` samples)."""
+    mp = -(-npix // TM) * TM
+    kp = sd_coef.shape[2] // 4
+    cp = sd_planes.shape[1]
+    kern = functools.partial(
+        _preview_kernel, cfg=cfg, npix=int(npix), kp=kp, cp=cp,
+        n_clusters=int(n_clusters), l_cap=int(l_cap), env_shape=env_shape,
+        spp=int(spp), max_bounce=int(max_bounce), gather=gather)
+    whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(mp // TM,),
+        in_specs=[whole] * 8,
+        out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((l_cap, 1), jnp.int32),
+            pltpu.VMEM((1, 1), jnp.int32),
+            pltpu.VMEM((TM, kp), jnp.float32),
+            pltpu.VMEM((TM, kp), jnp.int32),
+            pltpu.VMEM((TM, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ints, cam, sd_planes, sd_begin, sd_triu, sd_coef, trimat, envp)

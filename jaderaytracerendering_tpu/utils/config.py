@@ -40,9 +40,12 @@ class RenderConfig:
     engine: str = "pool"              # 'pool' (respawn compaction) |
     # 'scan' | 'mega' (whole-render single-launch Pallas megakernel,
     # integrator/mega.py; ineligible scenes fall back to the pool)
-    mega_gather: str = "take"         # megakernel in-kernel row-gather
-    # mechanism: 'take' (Mosaic dynamic gather) | 'loop' (per-lane
-    # dynamic sublane indexing — the proven fallback)
+    mega_gather: str = "loop"         # megakernel in-kernel row-gather
+    # mechanism: 'loop' (per-lane dynamic sublane indexing — the only
+    # form Mosaic lowers today: its gather op is shape-preserving
+    # take_along_axis, jax/_src/pallas/mosaic/lowering.py:2464-2524) |
+    # 'take' (jnp.take; interpret-mode/testing only until Mosaic grows
+    # table-shaped gathers)
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m

@@ -98,3 +98,19 @@ def test_mega_via_render_film_routing():
     f = R.render_film(sd, ds.camera, cfg)
     assert int(f.count) == 2
     assert np.isfinite(np.asarray(f.accum)).all()
+
+
+def test_mega_preview_matches_xla_preview():
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2, integrator="preview", jitter="gl",
+               rays_per_launch=128)
+    a, da = R.render_film_preview(sd, ds.camera, cfg, display=True)
+    b, db = R.render_film_preview(sd, ds.camera,
+                                  cfg.replace(engine="mega"), display=True)
+    scale = max(np.abs(np.asarray(a.mean())).max(), 1.0)
+    np.testing.assert_allclose(np.asarray(b.mean()), np.asarray(a.mean()),
+                               atol=1e-6 * scale, rtol=1e-5)
+    assert np.abs(np.asarray(da).astype(int)
+                  - np.asarray(db).astype(int)).max() <= 1
