@@ -59,24 +59,29 @@ TM = 128
 # in-kernel gathers from 128-lane-packed tables (scene.mega_pack layout)
 # --------------------------------------------------------------------------
 
-def _take_rows(tab_ref, ids_row, idsl_ref, mode: str):
-    """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128].
+def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
+    """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128] f32
+    (i32 tables are value-exact in f32 up to 2^24 — all of ours are).
 
-    mode 'take' uses Mosaic's dynamic gather; 'loop' is the proven
-    fallback (per-lane dynamic SUBLANE indexing via a [TM, 1] scratch,
-    the cluster_sweep_fused ids_ref pattern)."""
+    mode 'loop' (production): per-lane dynamic SUBLANE loads stored
+    through the [TM, 128] VMEM scratch (a dynamic_update_slice on a
+    register value costs O(TM) vreg shuffles per row; a ref store is
+    one VMEM write). Mosaic's vector gather lowers only the
+    shape-preserving take_along_axis form (lowering.py:2464-2524), so
+    table-shaped 'take' works in interpret mode only (kept for tests
+    and future Mosaic support)."""
     tm = ids_row.shape[1]
     if mode == "take":
-        return jnp.take(tab_ref[:], ids_row[0], axis=0)
+        return jnp.take(tab_ref[:], ids_row[0], axis=0).astype(jnp.float32)
     idsl_ref[:] = jnp.transpose(ids_row, (1, 0))
 
-    def one(l, acc):
-        row = jax.lax.dynamic_slice(
-            tab_ref[:], (idsl_ref[l, 0], 0), (1, tab_ref.shape[1]))
-        return jax.lax.dynamic_update_slice(acc, row, (l, 0))
+    def one(l, carry):
+        row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
+        grow_ref[pl.ds(l, 1), :] = row.astype(jnp.float32)
+        return carry
 
-    return jax.lax.fori_loop(
-        0, tm, one, jnp.zeros((tm, tab_ref.shape[1]), tab_ref[:].dtype))
+    jax.lax.fori_loop(0, tm, one, 0)
+    return grow_ref[:]
 
 
 def _sel4(rows, sub_row, width: int):
@@ -92,17 +97,17 @@ def _sel4(rows, sub_row, width: int):
     return out
 
 
-def _rows_fetch(trimat_ref, idsl_ref, idx_row, mode):
+def _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx_row, mode):
     """Combined tri++mat rows for triangle ids [1, TM] -> (trow [16, TM],
     mrow [16, TM]) — the in-kernel twin of wavefront._tri_mat_rows_t.
     Table: tri_mat_table [T, 32] packed 4 rows per 128-lane row."""
-    rows = _take_rows(trimat_ref, idx_row // 4, idsl_ref, mode)
+    rows = _take_rows(trimat_ref, idx_row // 4, idsl_ref, grow_ref, mode)
     both = _sel4(rows, idx_row % 4, 32)               # [TM, 32]
     both_t = jnp.transpose(both, (1, 0))              # [32, TM]
     return both_t[0:16], both_t[16:32]
 
 
-def _env_sample(env_ref, idsl_ref, d: V3, shape, clamp, mode):
+def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode):
     """In-kernel twin of envmap.sample_env_packed_p ([1, TM] planes):
     one row gather from the packed 2x2 bilinear table (8 entries of 16
     per 128-lane row) + identical f32 math/rounding order."""
@@ -118,7 +123,7 @@ def _env_sample(env_ref, idsl_ref, d: V3, shape, clamp, mode):
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
     rid = (y0i + 1) * (w + 1) + (x0i + 1)             # [1, TM]
-    rows = _take_rows(env_ref, rid // 8, idsl_ref, mode)
+    rows = _take_rows(env_ref, rid // 8, idsl_ref, grow_ref, mode)
     rowt = jnp.transpose(_sel4(rows, rid % 8, 16), (1, 0))  # [16, TM]
     c00 = vm.v3rows(rowt, 0)
     c01 = vm.v3rows(rowt, 3)
@@ -130,7 +135,7 @@ def _env_sample(env_ref, idsl_ref, d: V3, shape, clamp, mode):
               jnp.minimum(color.z, clamp))
 
 
-def _cdf_pick(buk_ref, win_ref, idsl_ref, u, obj, ota, nb: int,
+def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
               cdf_window: int, mode):
     """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
     bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
@@ -139,7 +144,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, u, obj, ota, nb: int,
     tm = u.shape[1]
     b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
     bid = obj * nb + b                                # [1, TM]
-    rows = _take_rows(buk_ref, bid // 64, idsl_ref, mode).astype(jnp.float32)
+    rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode)
     p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
     io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
     jlo = jnp.transpose(jnp.sum(jnp.where(io == p2_t, rows, 0.0),
@@ -150,7 +155,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, u, obj, ota, nb: int,
                         (1, 0)).astype(jnp.int32)
     target = u * ota
     per = 128 // (2 * cdf_window)
-    wrows = _take_rows(win_ref, jlo // per, idsl_ref, mode)
+    wrows = _take_rows(win_ref, jlo // per, idsl_ref, grow_ref, mode)
     wrow = jnp.transpose(_sel4(wrows, jlo % per, 2 * cdf_window),
                          (1, 0))                      # [2W, TM]
     width = jhi - jlo
@@ -316,7 +321,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  begin_ref, triu_ref, coefs_ref, trimat_ref, env_ref,
                  buk_ref, win_ref, ota_ref, out_ref,
                  fst_ref, mst_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
-                 idsl_ref, *, cfg, npix: int, e_cnt: int, has_sss: bool,
+                 idsl_ref, grow_ref, *, cfg, npix: int, e_cnt: int, has_sss: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
                  max_iters: int, gather: str):
@@ -417,14 +422,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             ota = jnp.zeros((1, tm), jnp.float32)
             for o_ in range(ota_ref.shape[0]):
                 ota = jnp.where(obj == o_, ota_ref[o_, 0], ota)
-            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, us[2], obj,
+            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, us[2], obj,
                                  ota, nb, cdf_window, gather)
             emis0 = vm.v3rows(mrow, 0)
             _, _, _, _, sss_exit0, _, _, _ = wavefront._branch_masks(
                 active, us[0], us[1], mrow[7].astype(jnp.int32),
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
-            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, exit_tri,
+            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, grow_ref, exit_tri,
                                          gather)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
@@ -462,13 +467,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # 6-8 raw hdir -> _unit_p; rows 9-11 = front's cdir_u)
         hdir_u = _unit_p(f.hdir)
         cdir_u = _unit_p(f.cdir)
-        sky = _env_sample(env_ref, idsl_ref, hdir_u, env_shape,
+        sky = _env_sample(env_ref, idsl_ref, grow_ref, hdir_u, env_shape,
                           cfg.hdr_clamp, gather)
-        sky_c = _env_sample(env_ref, idsl_ref, cdir_u, env_shape,
+        sky_c = _env_sample(env_ref, idsl_ref, grow_ref, cdir_u, env_shape,
                             cfg.hdr_clamp, gather)
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
-        crow_t, cmrow_t = _rows_fetch(trimat_ref, idsl_ref, c_idx, gather)
+        crow_t, cmrow_t = _rows_fetch(trimat_ref, idsl_ref, grow_ref, c_idx,
+                                      gather)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
             jnp, e_cnt, has_sss, False, cfg.rr_rate, cfg.sss_rate,
@@ -521,9 +527,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                            anyhit=False, gate=any_got)
         p_hit = p_bt < INF
         p_idx = jnp.where(p_hit, p_bi, 0)
-        psky = _env_sample(env_ref, idsl_ref, d_u, env_shape,
+        psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
                            cfg.hdr_clamp, gather)
-        row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, p_idx, gather)
+        row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, p_idx,
+                                   gather)
 
         miss = got & ~p_hit
         st_r = got & p_hit
@@ -613,6 +620,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
             pltpu.VMEM((TM, kp), jnp.float32),   # best-t wide
             pltpu.VMEM((TM, kp), jnp.int32),     # winner begin wide
             pltpu.VMEM((TM, 1), jnp.int32),      # gather loop ids
+            pltpu.VMEM((TM, 128), jnp.float32),  # gather rows out
         ],
         interpret=interpret,
     )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
@@ -626,7 +634,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
 
 def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                     coefs_ref, trimat_ref, env_ref, out_ref,
-                    ids_ref, cnt_ref, btw_ref, bw_ref, idsl_ref, *,
+                    ids_ref, cnt_ref, btw_ref, bw_ref, idsl_ref, grow_ref, *,
                     cfg, npix: int, kp: int, cp: int, n_clusters: int,
                     l_cap: int, env_shape, spp: int,
                     max_bounce: int, gather: str):
@@ -688,9 +696,9 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         bt0, bi0 = sweep(pf, jnp.full((1, tm), -1, jnp.int32), gate=true_g)
         hit0 = bt0 < INF
         idx0 = jnp.where(hit0, bi0, 0)
-        sky0 = _env_sample(env_ref, idsl_ref, d_u, env_shape,
+        sky0 = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
                            cfg.hdr_clamp, gather)
-        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, idx0, gather)
+        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx0, gather)
         le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
 
         ones = jnp.ones((1, tm), jnp.float32)
@@ -702,7 +710,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         tri = idx0
 
         for b in range(max_bounce):
-            trow, mrow = _rows_fetch(trimat_ref, idsl_ref, tri, gather)
+            trow, mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, tri,
+                                     gather)
             normal = V3(trow[9:10], trow[10:11], trow[11:12])
             brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
             w1 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_COS),
@@ -720,13 +729,13 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                 active.astype(jnp.float32)) > 0.0)
             hit = bt < INF
             idx = jnp.where(hit, bi, 0)
-            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, idx, gather)
+            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx, gather)
             n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
             cos_i = jnp.abs(vm.vdot(wi, normal))
             f_r = brdf * (1.0 / PI)
             weight = f_r * cos_i * (2.0 * PI)
 
-            sky = _env_sample(env_ref, idsl_ref, wi_u, env_shape,
+            sky = _env_sample(env_ref, idsl_ref, grow_ref, wi_u, env_shape,
                               cfg.hdr_clamp, gather)
             miss = active & ~hit
             lo = lo + vwhere(miss, history * sky * weight, 0.0, jnp)
@@ -775,6 +784,7 @@ def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
             pltpu.VMEM((TM, kp), jnp.float32),
             pltpu.VMEM((TM, kp), jnp.int32),
             pltpu.VMEM((TM, 1), jnp.int32),
+            pltpu.VMEM((TM, 128), jnp.float32),
         ],
         interpret=interpret,
     )(ints, cam, sd_planes, sd_begin, sd_triu, sd_coef, trimat, envp)
