@@ -49,12 +49,14 @@ def eligible(sd, cfg: RenderConfig) -> bool:
 
 
 def _pack128(a: np.ndarray) -> np.ndarray:
-    """[R, w] -> [ceil(R/(128//w)), 128]: k=128//w consecutive rows per
-    128-lane row, so a VMEM-resident table wastes no lane padding and a
-    row fetch is take(row // k) + a static k-way lane-block select."""
+    """[R, w] -> [max(128, ceil(R/(128//w))), 128]: k=128//w consecutive
+    rows per 128-lane row, so a VMEM-resident table wastes no lane
+    padding and a row fetch is take(row // k) + a static k-way
+    lane-block select. Padded to >= 128 packed rows so the kernel's
+    'block' gather can always slice a full [128, 128] window."""
     r, w = a.shape
     k = 128 // w
-    rp = -(-r // k) * k
+    rp = max(-(-r // k) * k, 128 * k)
     if rp != r:
         a = np.concatenate([a, np.zeros((rp - r, w), a.dtype)])
     return np.ascontiguousarray(a.reshape(rp // k, 128))

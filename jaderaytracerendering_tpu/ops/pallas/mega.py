@@ -73,6 +73,34 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
     tm = ids_row.shape[1]
     if mode == "take":
         return jnp.take(tab_ref[:], ids_row[0], axis=0).astype(jnp.float32)
+    if mode == "block":
+        # COHERENT-id path: loop the [bmin, bmax] 128-row block range;
+        # per block, ONE tpu.dynamic_gather (take_along_axis over
+        # sublanes — the only vector-gather form Mosaic lowers) selects
+        # each lane's row, then a compare-select keeps lanes whose id
+        # lives in this block. Pixel-tile hits are cluster-local
+        # (BVH-ordered ids), so the range is typically 1-3 blocks;
+        # scattered tables (CDF buckets, bounce-direction env texels)
+        # must use 'loop' instead. Tables are padded to >= 128 rows
+        # (mega_pack) so the clamped window never reads out of bounds.
+        nrow = tab_ref.shape[0]
+        ids_t = jnp.transpose(ids_row, (1, 0))        # [TM, 1]
+        blk_t = ids_t // 128
+        # block range to scratch scalars (the cnt_ref pattern: Mosaic
+        # scalars live in SMEM/VMEM [1, 1] cells, not vreg reductions)
+        idsl_ref[0:1, 0:1] = jnp.min(blk_t, axis=0, keepdims=True)
+        idsl_ref[1:2, 0:1] = jnp.max(blk_t, axis=0, keepdims=True)
+
+        def body(b_, out):
+            base = jnp.minimum(b_ * 128, nrow - 128)
+            block = tab_ref[pl.ds(base, 128), :].astype(jnp.float32)
+            pos_rel = jnp.clip(ids_t - base, 0, 127)
+            rows_b = jnp.take_along_axis(
+                block, jnp.broadcast_to(pos_rel, (tm, 128)), axis=0)
+            return jnp.where(blk_t == b_, rows_b, out)
+
+        return jax.lax.fori_loop(idsl_ref[0, 0], idsl_ref[1, 0] + 1, body,
+                                 jnp.zeros((tm, 128), jnp.float32))
     idsl_ref[:] = jnp.transpose(ids_row, (1, 0))
 
     def one(l, carry):
@@ -383,6 +411,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
         n_clusters=n_clusters, l_cap=l_cap)
 
+    # 'block' only pays off for COHERENT ids (cluster-local triangle
+    # rows, primary-ray env texels); scattered fetches (CDF buckets,
+    # uniform-sphere bounce-direction env texels) keep the lane loop
+    gm_coh = gather
+    gm_scat = "loop" if gather == "block" else gather
+
     # ---- init per-tile state ----
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
     # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
@@ -422,15 +456,15 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             ota = jnp.zeros((1, tm), jnp.float32)
             for o_ in range(ota_ref.shape[0]):
                 ota = jnp.where(obj == o_, ota_ref[o_, 0], ota)
-            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, us[2], obj,
-                                 ota, nb, cdf_window, gather)
+            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
+                                 us[2], obj, ota, nb, cdf_window, gm_scat)
             emis0 = vm.v3rows(mrow, 0)
             _, _, _, _, sss_exit0, _, _, _ = wavefront._branch_masks(
                 active, us[0], us[1], mrow[7].astype(jnp.int32),
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
-            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, grow_ref, exit_tri,
-                                         gather)
+            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+                                         exit_tri, gm_scat)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
             eobj = et_row[12:13].astype(jnp.int32)
@@ -468,13 +502,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         hdir_u = _unit_p(f.hdir)
         cdir_u = _unit_p(f.cdir)
         sky = _env_sample(env_ref, idsl_ref, grow_ref, hdir_u, env_shape,
-                          cfg.hdr_clamp, gather)
+                          cfg.hdr_clamp, gm_scat)
         sky_c = _env_sample(env_ref, idsl_ref, grow_ref, cdir_u, env_shape,
-                            cfg.hdr_clamp, gather)
+                            cfg.hdr_clamp, gm_scat)
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
         crow_t, cmrow_t = _rows_fetch(trimat_ref, idsl_ref, grow_ref, c_idx,
-                                      gather)
+                                      gm_coh)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
             jnp, e_cnt, has_sss, False, cfg.rr_rate, cfg.sss_rate,
@@ -528,9 +562,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         p_hit = p_bt < INF
         p_idx = jnp.where(p_hit, p_bi, 0)
         psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                           cfg.hdr_clamp, gather)
+                           cfg.hdr_clamp, gm_coh)
         row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, p_idx,
-                                   gather)
+                                   gm_coh)
 
         miss = got & ~p_hit
         st_r = got & p_hit
@@ -673,6 +707,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
         n_clusters=n_clusters, l_cap=l_cap, anyhit=False)
 
+    gm_coh = gather
+    gm_scat = "loop" if gather == "block" else gather
     film = V3(zrow, zrow, zrow)
     px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
     py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
@@ -697,8 +733,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         hit0 = bt0 < INF
         idx0 = jnp.where(hit0, bi0, 0)
         sky0 = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                           cfg.hdr_clamp, gather)
-        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx0, gather)
+                           cfg.hdr_clamp, gm_coh)
+        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx0, gm_coh)
         le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
 
         ones = jnp.ones((1, tm), jnp.float32)
@@ -711,7 +747,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
 
         for b in range(max_bounce):
             trow, mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, tri,
-                                     gather)
+                                     gm_coh)
             normal = V3(trow[9:10], trow[10:11], trow[11:12])
             brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
             w1 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_COS),
@@ -729,14 +765,15 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                 active.astype(jnp.float32)) > 0.0)
             hit = bt < INF
             idx = jnp.where(hit, bi, 0)
-            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx, gather)
+            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx,
+                                   gm_coh)
             n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
             cos_i = jnp.abs(vm.vdot(wi, normal))
             f_r = brdf * (1.0 / PI)
             weight = f_r * cos_i * (2.0 * PI)
 
             sky = _env_sample(env_ref, idsl_ref, grow_ref, wi_u, env_shape,
-                              cfg.hdr_clamp, gather)
+                              cfg.hdr_clamp, gm_scat)
             miss = active & ~hit
             lo = lo + vwhere(miss, history * sky * weight, 0.0, jnp)
             lo = lo + vwhere(active & hit, history * n_emis * weight, 0.0,

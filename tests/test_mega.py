@@ -51,12 +51,13 @@ def test_mega_cornell_matches_scan():
     np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
 
 
-def test_mega_gather_modes_agree():
+@pytest.mark.parametrize("mode", ["take", "block"])
+def test_mega_gather_modes_agree(mode):
     ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
     cfg = _cfg(spp=2)
     a = np.asarray(mega.render_film_mega(
-        sd, ds.camera, cfg.replace(mega_gather="take")).mean())
+        sd, ds.camera, cfg.replace(mega_gather=mode)).mean())
     b = np.asarray(mega.render_film_mega(
         sd, ds.camera, cfg.replace(mega_gather="loop")).mean())
     np.testing.assert_array_equal(a, b)
