@@ -361,7 +361,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     tm = TM
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
-    pix = tile * tm + lane                             # [1, TM] i32
+    # ints col 3 = dynamic pixel offset (film shard base, multi-chip)
+    pix = ints_ref[0:1, 3:4] + tile * tm + lane        # [1, TM] i32
     pix_ok = pix < npix
     pix_u = pix.astype(jnp.uint32)
     seed = cfg.seed
@@ -536,66 +537,91 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         hit_idx2 = jnp.where(accept, c_idx, hit_idx)
 
         # ================= spawn fresh lanes ============================
-        fresh = ~still
-        got = fresh & pix_ok & (ns < spp)
-        smp_n = jnp.where(got, ns + sample_base, smp)
-        smp_nu = smp_n.astype(jnp.uint32)
-        u1 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_X), seed)
-        u2 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_Y), seed)
+        # cfg.spawn_rounds rounds (pool semantics, pool.py:288-291): a
+        # primary MISS retires its sample to the film immediately and
+        # the lane pulls its NEXT sample in the same iteration — cheap
+        # here (one extra gated sweep per round), and it collapses
+        # sky-dominated tiles from one sample/iteration to
+        # spawn_rounds samples/iteration.
         px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(
             jnp.float32)
         py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(
             jnp.float32)
-        if cfg.jitter == "cuda":
-            ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
-            ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
-        else:  # "gl"
-            ndc_x = -1.0 + 2.0 * (px + 0.5) / width + (u1 - 0.5) / width
-            ndc_y = -1.0 + 2.0 * (py + 0.5) / height + (u2 - 0.5) / height
-        dcam = V3(ndc_x, ndc_y,
-                  jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
-        dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
-        pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
-        any_got = jnp.sum(got.astype(jnp.float32)) > 0.0
-        p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
-                           anyhit=False, gate=any_got)
-        p_hit = p_bt < INF
-        p_idx = jnp.where(p_hit, p_bi, 0)
-        psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                           cfg.hdr_clamp, gm_coh)
-        row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, p_idx,
-                                   gm_coh)
-
-        miss = got & ~p_hit
-        st_r = got & p_hit
+        fresh = ~still
+        started = jnp.zeros_like(fresh)
+        sky_sum = V3(zrow, zrow, zrow)
+        n_got = zrow
+        srcP, dirP = ray_src2, out_dir2
+        hitP, le0P = hit_idx2, le0
+        rowP, mrowP = crow_t, cmrow_t
+        smp_n, ns_r = smp, ns
+        for _ in range(max(1, cfg.spawn_rounds)):
+            got = fresh & pix_ok & (ns_r < spp)
+            smp_g = jnp.where(got, ns_r + sample_base, smp_n)
+            smp_nu = smp_g.astype(jnp.uint32)
+            u1 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_X), seed)
+            u2 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_Y), seed)
+            if cfg.jitter == "cuda":
+                ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
+                ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
+            else:  # "gl"
+                ndc_x = (-1.0 + 2.0 * (px + 0.5) / width
+                         + (u1 - 0.5) / width)
+                ndc_y = (-1.0 + 2.0 * (py + 0.5) / height
+                         + (u2 - 0.5) / height)
+            dcam = V3(ndc_x, ndc_y,
+                      jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
+            dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
+            pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
+            any_got = jnp.sum(got.astype(jnp.float32)) > 0.0
+            p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
+                               anyhit=False, gate=any_got)
+            p_hit = p_bt < INF
+            p_idx = jnp.where(p_hit, p_bi, 0)
+            psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
+                               cfg.hdr_clamp, gm_coh)
+            row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+                                       p_idx, gm_coh)
+            miss = got & ~p_hit
+            st_r = got & p_hit
+            st2d = st_r[0]
+            sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
+            n_got = n_got + got.astype(jnp.float32)
+            started = started | st_r
+            srcP = vwhere(st_r, eye + d_u * p_bt, srcP, jnp)
+            dirP = vwhere(st_r, -d_u, dirP, jnp)
+            hitP = jnp.where(st_r, p_idx, hitP)
+            le0P = vwhere(st_r, V3(p_mrow[0:1], p_mrow[1:2], p_mrow[2:3]),
+                          le0P, jnp)
+            # started lanes take the primary rows; everyone else keeps
+            # the continuation rows (idle lanes get c_idx=0 = the
+            # pool's tri-0 column — inert, active gates all shading)
+            rowP = jnp.where(st2d, row0, rowP)
+            mrowP = jnp.where(st2d, p_mrow, mrowP)
+            smp_n = smp_g
+            ns_r = jnp.where(got, ns_r + 1, ns_r)
+            fresh = fresh & ~st_r
 
         # film: dense lane accumulation (lane == pixel)
         O = out_ref[:]
-        film = V3(O[0:1], O[1:2], O[2:3]) + contrib \
-            + vwhere(miss, psky, 0.0, jnp)
-        n_ray = O[3:4] + active.astype(jnp.float32) * (e_cnt + 2) \
-            + got.astype(jnp.float32)
+        film = V3(O[0:1], O[1:2], O[2:3]) + contrib + sky_sum
+        n_ray = O[3:4] + active.astype(jnp.float32) * (e_cnt + 2) + n_got
 
         # next state merge (started lanes take the primary block)
-        ray_src3 = vwhere(st_r, eye + d_u * p_bt, ray_src2, jnp)
-        out_dir3 = vwhere(st_r, -d_u, out_dir2, jnp)
-        hit_idx3 = jnp.where(st_r, p_idx, hit_idx2)
-        b3 = jnp.where(st_r, 0, b2)
-        t_put3 = vwhere(st_r, V3(jnp.ones((1, tm), jnp.float32),
-                                 jnp.ones((1, tm), jnp.float32),
-                                 jnp.ones((1, tm), jnp.float32)),
+        ray_src3 = srcP
+        out_dir3 = dirP
+        hit_idx3 = hitP
+        b3 = jnp.where(started, 0, b2)
+        t_put3 = vwhere(started, V3(jnp.ones((1, tm), jnp.float32),
+                                    jnp.ones((1, tm), jnp.float32),
+                                    jnp.ones((1, tm), jnp.float32)),
                         t_put, jnp)
-        l_acc3 = vwhere(st_r, 0.0, l_acc, jnp)
-        le03 = vwhere(st_r, V3(p_mrow[0:1], p_mrow[1:2], p_mrow[2:3]),
-                      le0, jnp)
-        # started lanes take the primary rows; everyone else the
-        # continuation rows (idle lanes get c_idx=0 = the pool's tri-0
-        # column — inert, the active mask gates all shading)
-        st2d = st_r[0]
-        trow3 = jnp.where(st2d, row0, crow_t)
-        mrow3 = jnp.where(st2d, p_mrow, cmrow_t)
-        active3 = still | st_r
-        ns2 = jnp.where(got, ns + 1, ns)
+        l_acc3 = vwhere(started, 0.0, l_acc, jnp)
+        le03 = le0P
+        trow3 = rowP
+        mrow3 = mrowP
+        active3 = still | started
+        ns2 = ns_r
 
         fst_ref[:] = jnp.concatenate([
             ray_src3.x, ray_src3.y, ray_src3.z,
@@ -620,15 +646,17 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "env_shape", "nb",
-    "cdf_window", "spp", "l_cap", "gather", "interpret"))
+    "cdf_window", "spp", "shard_px", "l_cap", "gather", "interpret"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 sd_triu, sd_coef, trimat, envp, buk, win, ota, *, cfg, npix,
                 e_cnt, has_sss, env_shape, nb, cdf_window, spp,
-                l_cap=64, gather="take", interpret=False):
+                shard_px=None, l_cap=64, gather="take", interpret=False):
     """One launch = the whole render: returns [8, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
-    4 loop iterations (per tile)."""
-    mp = -(-npix // TM) * TM
+    4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
+    only the pixel window [ints[0,3], ints[0,3]+shard_px) — the film
+    shard of one device in the multi-chip mesh."""
+    mp = shard_px if shard_px else -(-npix // TM) * TM
     kp = sd_coef.shape[2] // 4
     cp = sd_planes.shape[1]
     max_iters = spp * (cfg.max_depth + 2) + 4

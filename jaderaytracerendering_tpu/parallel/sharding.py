@@ -137,6 +137,13 @@ def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
     mesh.shape['spp'] * sppb samples."""
     npix = cfg.width * cfg.height
     n_tile_ = mesh.shape["tile"]
+    if cfg.engine == "mega" and cfg.integrator == "full":
+        from ..integrator import mega as mega_mod
+
+        if mega_mod.eligible(sd, cfg):
+            return render_film_mega_distributed(sd, cam, cfg, mesh,
+                                                film=film)
+        cfg = cfg.replace(engine="pool")
     if cfg.engine == "pool" and cfg.integrator == "full":
         assert cfg.spp % mesh.shape["spp"] == 0, "spp must divide spp axis"
         if film is None:
@@ -182,3 +189,72 @@ def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
         done += step * n_spp
     return Film(accum=accum.reshape(cfg.height, cfg.width, 3),
                 count=film.count + done)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "shard_px",
+                                             "interpret"))
+def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
+                         mesh: Mesh, shard_px: int, interpret: bool):
+    """Megakernel over the mesh: each 'tile' shard runs the whole-render
+    kernel on its contiguous TM-aligned pixel window (the kernel's
+    dynamic pixel-offset input), 'spp' shards render disjoint sample-id
+    ranges of the same window and psum-reduce over ICI — the shard_map
+    x pallas composition the pod actually executes."""
+    from ..ops.pallas import mega as megak
+
+    trimat, envp, buk, win, ota, ltab, lights2 = tabs
+    n_spp = mesh.shape["spp"]
+    spp_local = cfg.spp // n_spp
+    npix = cfg.width * cfg.height
+
+    def shard_fn(trimat_, envp_, buk_, win_, ota_, ltab_, lights2_,
+                 cam24_, base_, sd_):
+        t = jax.lax.axis_index("tile")
+        s_ = jax.lax.axis_index("spp")
+        ints = (jnp.zeros((8,), jnp.int32)
+                .at[2].set(base_ + s_ * spp_local)
+                .at[3].set(t * shard_px)).reshape(1, 8)
+        out = megak.render_mega(
+            sd_.n_clusters, ints, cam24_, ltab_, lights2_,
+            sd_.cluster_planes, sd_.cluster_begin_col, sd_.cluster_triu,
+            sd_.cluster_coef, trimat_, envp_, buk_, win_, ota_,
+            cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd_.n_emit,
+            has_sss=sd_.has_sss,
+            env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),
+            nb=int(sd_.sss_nb), cdf_window=16, spp=spp_local,
+            shard_px=shard_px, gather=cfg.mega_gather, interpret=interpret)
+        return jax.lax.psum(out, "spp")
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(),) * 10,
+        out_specs=P(None, "tile"),
+        check_vma=False,
+    )(trimat, envp, buk, win, ota, ltab, lights2, cam24,
+      jnp.asarray(sample_base, jnp.int32), sd)
+
+
+def render_film_mega_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
+                                 film: Optional[Film] = None) -> Film:
+    """Distributed megakernel film render (engine='mega' mesh path)."""
+    from ..integrator import mega as mega_mod
+    from ..ops.pallas import mega as megak
+
+    assert cfg.spp % mesh.shape["spp"] == 0, "spp must divide spp axis"
+    npix = cfg.width * cfg.height
+    n_tile = mesh.shape["tile"]
+    shard_px = -(-npix // (n_tile * megak.TM)) * megak.TM
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    tabs = mega_mod._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(cam.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    interpret = jax.default_backend() == "cpu"
+    out = _mega_render_sharded(tabs, cam24, film.count, sd, cfg, mesh,
+                               shard_px, interpret)
+    rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
+        cfg.height, cfg.width, 3)
+    return Film(accum=film.accum + rad,
+                count=film.count + jnp.int32(cfg.spp))

@@ -36,10 +36,11 @@ def _films(ds, cfg, **mega_kw):
     return sd, a, b
 
 
-def test_mega_jade_sss_matches_scan():
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_mega_jade_sss_matches_scan(rounds):
     ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
     ds.camera.r = 2.0
-    sd, a, b = _films(ds, _cfg(max_depth=6))
+    sd, a, b = _films(ds, _cfg(max_depth=6, spawn_rounds=rounds))
     scale = max(np.abs(a).max(), 1.0)
     np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
 

@@ -128,3 +128,22 @@ def test_gather_film_all_gather(scene):
     # replicated result equals the sharded values
     np.testing.assert_allclose(np.asarray(full), np.asarray(out), rtol=1e-6)
     assert len(full.sharding.device_set) == 8  # replicated on all
+
+
+def test_sharded_mega_engine_matches_single(scene):
+    """The megakernel engine over the mesh (per-shard whole-render
+    kernels on dynamic pixel windows, spp psum) equals the single-device
+    megakernel film."""
+    import numpy as np
+
+    from jaderaytracerendering_tpu.integrator import mega as mega_mod
+
+    cfg = _cfg(engine="mega", traversal="sweep", spp=4)
+    ds, sd = scene
+    assert mega_mod.eligible(sd, cfg)
+    single = np.asarray(mega_mod.render_film_mega(sd, ds.camera, cfg).mean())
+    for shape in ((4, 1), (2, 2)):
+        mesh = sharding.make_mesh(shape)
+        f = sharding.render_film_distributed(sd, ds.camera, cfg, mesh)
+        np.testing.assert_allclose(np.asarray(f.mean()), single,
+                                   rtol=1e-4, atol=1e-5)
