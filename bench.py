@@ -109,18 +109,20 @@ def _run_matrix(base) -> None:
             mrays = 0.0
         results[name] = _line(mrays, config=name)
         print(json.dumps(results[name]), flush=True)
-    try:
-        fps = _measure_preview_fps(base, width=1024, height=1024)
-    except Exception:
-        import traceback
+    for name, eng in (("preview1024", "pool"), ("preview1024_mega", "mega")):
+        try:
+            fps = _measure_preview_fps(base, width=1024, height=1024,
+                                       engine=eng)
+        except Exception:
+            import traceback
 
-        traceback.print_exc()
-        fps = 0.0
-    results["preview1024"] = {
-        "metric": "preview FPS @1024x1024", "value": round(fps, 2),
-        "unit": "frames/s", "config": "preview1024",
-    }
-    print(json.dumps(results["preview1024"]), flush=True)
+            traceback.print_exc()
+            fps = 0.0
+        results[name] = {
+            "metric": f"preview FPS @1024x1024 ({eng})",
+            "value": round(fps, 2), "unit": "frames/s", "config": name,
+        }
+        print(json.dumps(results[name]), flush=True)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "docs", "BENCH_MATRIX.json")
     with open(out, "w") as f:
@@ -142,7 +144,7 @@ def _scene(args):
 
 
 def _measure_preview_fps(base, width: int, height: int,
-                         frames: int = 6) -> float:
+                         frames: int = 6, engine: str = "pool") -> float:
     """Per-frame FPS of the progressive 2-bounce preview integrator at
     the reference's window resolution (PathTrace.cu:24-30 -DLARGE)."""
     import jax.numpy as jnp
@@ -158,7 +160,8 @@ def _measure_preview_fps(base, width: int, height: int,
     # preview CLI's default) nearly 3x the frame rate at 1024^2
     cfg = RenderConfig(width=width, height=height, spp=1, spp_batch=1,
                        max_depth=2, rays_per_launch=1 << 18,
-                       traversal=base.traversal, integrator="preview")
+                       traversal=base.traversal, integrator="preview",
+                       engine=engine)
     film = Film.create(cfg.height, cfg.width)
     # the preview CLI loop: one dispatch per frame, device-side tonemap,
     # and the FULL u8 display frame transfer is the honest barrier

@@ -11,8 +11,6 @@ Eligibility (falls back to the pool engine via render.render_film):
   - VMEM-resident traversal class (cluster_triu built, i.e. the fused
     sweep's c_pad <= 2048 scenes) and total table footprint within the
     ~16 MB VMEM budget;
-  - no direct-refraction materials (the in-kernel march is not
-    implemented yet);
   - SSS scenes need the bucketed CDF tables (sd.sss_nb > 0 — assemble
     always builds them).
 """
@@ -35,8 +33,6 @@ _pack_cache: dict = {}
 
 
 def eligible(sd, cfg: RenderConfig) -> bool:
-    if sd.has_refract:
-        return False
     if sd.cluster_triu.size == 0 or sd.n_clusters == 0:
         return False
     if sd.has_sss and not sd.sss_nb:
@@ -131,7 +127,8 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
         env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
         nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
-        gather=cfg.mega_gather, interpret=interpret)
+        has_refract=sd.has_refract, gather=cfg.mega_gather,
+        interpret=interpret)
     rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
         cfg.height, cfg.width, 3)
     return Film(accum=film.accum + rad,

@@ -28,9 +28,10 @@ holds lane-for-lane up to FMA contraction ulps. Per-pixel sample order
 sample indices {p, p+npix, ...} -> smp 0..spp-1).
 
 Gating (integrator/mega.py): VMEM-resident scenes only (the fused
-sweep's c_pad <= 2048 class), has_refract=False for now (the direct
-refraction march would nest ~32 traces in-kernel; such scenes fall
-back to the pool engine).
+sweep's c_pad <= 2048 class; larger scenes fall back to the pool +
+HBM-streaming sweep). Direct refraction runs as an in-kernel march
+(a while_loop of nested sweeps that exits when no lane is inside the
+medium).
 
 Trace core: a value-returning re-expression of the fused cluster
 sweep (ops/pallas/cluster_sweep_fused.py — slab + MXU cumsum
@@ -135,13 +136,50 @@ def _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx_row, mode):
     return both_t[0:16], both_t[16:32]
 
 
+_PI_F = 3.14159265358979
+
+
+def _atan_poly(a):
+    """atan on [0, tan(pi/8)] — Cephes atanf minimax (~2e-8 max err)."""
+    t = a * a
+    return a * (1.0 + t * (-0.333329491539 + t * (0.199777106478
+                + t * (-0.138776856032 + t * 0.080586623927))))
+
+
+def _atan2(z, x):
+    """f32 atan2 built from sub/rsqrt/poly — Mosaic registers no
+    atan2/asin lowering (lowering.py trig table: sin/cos/tan only), so
+    the env sampler computes its equirect angles with this ~2e-8-error
+    twin. atan2(0, 0) = 0 (the XLA convention dead zero-direction lanes
+    rely on). Quadrant logic per the standard reduction; the inner
+    [0, 1] range folds at tan(pi/8) via atan(a)=pi/4+atan((a-1)/(a+1))."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    num = jnp.minimum(ax, az)
+    den = jnp.maximum(jnp.maximum(ax, az), 1e-30)
+    a = num / den
+    big = a > 0.4142135623730950            # tan(pi/8): fold to [0, ~0.414]
+    a2 = (a - 1.0) / (a + 1.0)
+    r = jnp.where(big, _PI_F / 4.0 + _atan_poly(a2), _atan_poly(a))
+    r = jnp.where(az > ax, _PI_F / 2.0 - r, r)
+    r = jnp.where(x < 0.0, _PI_F - r, r)
+    return jnp.where(z < 0.0, -r, r)
+
+
+def _asin(y):
+    return _atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
+
+
 def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode):
     """In-kernel twin of envmap.sample_env_packed_p ([1, TM] planes):
     one row gather from the packed 2x2 bilinear table (8 entries of 16
-    per 128-lane row) + identical f32 math/rounding order."""
+    per 128-lane row) + the same math, with the equirect angles from
+    the in-kernel _atan2/_asin (Mosaic lowers no inverse trig). The
+    ~2e-8 angle error can flip a bilinear texel index only within
+    ~5e-6 of a texel boundary — invisible against the filter."""
     h, w = shape
-    u = jnp.arctan2(d.z, d.x) / (2.0 * 3.1415926) + 0.5
-    v = 1.0 - (jnp.arcsin(jnp.clip(d.y, -1.0, 1.0)) / 3.1415926 + 0.5)
+    u = _atan2(d.z, d.x) / (2.0 * 3.1415926) + 0.5
+    v = 1.0 - (_asin(jnp.clip(d.y, -1.0, 1.0)) / 3.1415926 + 0.5)
     fx = u * w - 0.5
     fy = v * h - 0.5
     x0 = jnp.floor(fx)
@@ -349,7 +387,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  begin_ref, triu_ref, coefs_ref, trimat_ref, env_ref,
                  buk_ref, win_ref, ota_ref, out_ref,
                  fst_ref, mst_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
-                 idsl_ref, grow_ref, *, cfg, npix: int, e_cnt: int, has_sss: bool,
+                 idsl_ref, grow_ref, *, cfg, npix: int, e_cnt: int,
+                 has_sss: bool, has_refract: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
                  max_iters: int, gather: str):
@@ -471,13 +510,99 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             eobj = et_row[12:13].astype(jnp.int32)
             for o_ in range(ota_ref.shape[0]):
                 tot_a = jnp.where(eobj == o_, ota_ref[o_, 0], tot_a)
-            pre = wavefront.FrontPre(us, erows, exit_tri, tot_a, None)
         else:
-            pre = wavefront.FrontPre(us, None, None, None, None)
+            erows = exit_tri = tot_a = None
 
+        if has_refract:
+            # ---- in-kernel direct-refraction march (the in-kernel twin
+            # of wavefront._refract_march, PathTrace.cu:1180-1234): a
+            # while_loop of <= max_refract_bounces nested sweeps that
+            # exits as soon as no lane is still inside the medium ----
+            emis0 = vm.v3rows(mrow, 0)
+            _, _, _, _, _, is_dirref0, _, _ = wavefront._branch_masks(
+                active, us[0], us[1], mrow[7].astype(jnp.int32),
+                mrow[6].astype(jnp.int32), cfg, emis0, jnp)
+            miu = mrow[14]
+            normal0 = vm.v3rows(trow, 9)
+            r0r = sampling.schlick_r0(miu)
+            fres_ri = sampling.fresnel_entry(
+                r0r, jnp.abs(vm.vdot(normal0, out_dir)))
+            rdir0, _ = sampling.refract_dir_p(-out_dir, normal0,
+                                              1.0 / miu, jnp)
+            rdir0 = vwhere(is_dirref0, rdir0, 0.0, jnp)
+            one_mf = 1.0 - fres_ri
+            zb = jnp.zeros((1, tm), jnp.int32)
+            n_live0 = jnp.sum(is_dirref0.astype(jnp.float32))
+
+            def m_cond(c):
+                return (c[0] < cfg.max_refract_bounces) & (c[1] > 0.0)
+
+            def m_body(c):
+                (i, _, rdx, rdy, rdz, rtx, rty, rtz, esc, exi,
+                 sx, sy, sz, exc) = c
+                rdir = V3(rdx, rdy, rdz)
+                rate = V3(rtx, rty, rtz)
+                src = V3(sx, sy, sz)
+                escaped = esc != 0
+                exited = exi != 0
+                live = is_dirref0 & ~exited & ~escaped
+                mf, _ = _feats16(src, rdir)
+                mex = jnp.where(live, exc, -2)
+                bt_m, bi_m = sweep(
+                    mf, mex, anyhit=False,
+                    gate=jnp.sum(live.astype(jnp.float32)) > 0.0)
+                hit_m = bt_m < INF
+                idx_m = jnp.where(hit_m, bi_m, 0)
+                escaped = escaped | (live & ~hit_m)
+                step_ok = live & hit_m
+                rdir_u = _unit_p(rdir)
+                hp = src + rdir_u * bt_m
+                irow, rrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+                                         idx_m, gm_coh)
+                n_i = V3(irow[9:10], irow[10:11], irow[11:12])
+                new_rdir, full_reflex = sampling.refract_dir_p(
+                    rdir_u, n_i, miu, jnp)
+                rr8 = V3(rrow[8:9], rrow[9:10], rrow[10:11])
+                absorb = V3(rr8.x ** bt_m, rr8.y ** bt_m, rr8.z ** bt_m)
+                rate = vwhere(step_ok, rate * absorb, rate, jnp)
+                src = vwhere(step_ok, hp, src, jnp)
+                exc = jnp.where(step_ok, idx_m, exc)
+                fres_o = sampling.fresnel_exit(
+                    r0r, jnp.abs(vm.vdot(new_rdir, n_i)))
+                u_m = rng.uniform(jnp, pix_u, smp_u, b1,
+                                  int(S.REFRACT_BASE) + i, seed)
+                reflect_pick = full_reflex | (
+                    u_m < cfg.internal_reflect_rate)
+                reflected = vm.vreflect(new_rdir, n_i)
+                rate = vwhere(step_ok & ~reflect_pick,
+                              rate * (1.0 - fres_o) * 1.25, rate, jnp)
+                rate = vwhere(step_ok & reflect_pick & ~full_reflex,
+                              rate * fres_o * 5.0, rate, jnp)
+                rdir = vwhere(
+                    step_ok,
+                    vwhere(reflect_pick, reflected, new_rdir, jnp),
+                    rdir, jnp)
+                exited = exited | (step_ok & ~reflect_pick)
+                live2 = is_dirref0 & ~exited & ~escaped
+                return (i + 1, jnp.sum(live2.astype(jnp.float32)),
+                        rdir.x, rdir.y, rdir.z, rate.x, rate.y, rate.z,
+                        escaped.astype(jnp.int32),
+                        exited.astype(jnp.int32),
+                        src.x, src.y, src.z, exc)
+
+            mc = jax.lax.while_loop(m_cond, m_body, (
+                0, n_live0, rdir0.x, rdir0.y, rdir0.z,
+                one_mf + zrow, one_mf + zrow, one_mf + zrow,
+                zb, zb, ray_src.x, ray_src.y, ray_src.z, tri))
+            refr = (V3(mc[2], mc[3], mc[4]), V3(mc[5], mc[6], mc[7]),
+                    mc[8] != 0, mc[13], V3(mc[10], mc[11], mc[12]))
+        else:
+            refr = None
+
+        pre = wavefront.FrontPre(us, erows, exit_tri, tot_a, refr)
         f = wavefront.bounce_front(active, ray_src, out_dir, tri, trow,
                                    mrow, pre, light_pts, e_cnt, has_sss,
-                                   False, cfg, jnp)
+                                   has_refract, cfg, jnp)
 
         # segment traces (light segs -> HDR any-hit -> continuation)
         any_act = jnp.sum(active.astype(jnp.float32)) > 0.0
@@ -512,7 +637,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                                       gm_coh)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
-            jnp, e_cnt, has_sss, False, cfg.rr_rate, cfg.sss_rate,
+            jnp, e_cnt, has_sss, has_refract, cfg.rr_rate, cfg.sss_rate,
             f.ldirs, l_oks, l_norms, l_emises, l_areas,
             sky, sky_c, f.hdir, cdir_u, f.nee_norm, f.exit_norm, f.bss,
             f.fr, f.fr_alb, f.emissive, c_obj_em, f.cont_src, f.ref_rate,
@@ -645,12 +770,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "env_shape", "nb",
-    "cdf_window", "spp", "shard_px", "l_cap", "gather", "interpret"))
+    "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "has_refract",
+    "env_shape", "nb", "cdf_window", "spp", "shard_px", "l_cap", "gather",
+    "interpret"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 sd_triu, sd_coef, trimat, envp, buk, win, ota, *, cfg, npix,
                 e_cnt, has_sss, env_shape, nb, cdf_window, spp,
-                shard_px=None, l_cap=64, gather="take", interpret=False):
+                has_refract=False, shard_px=None, l_cap=64, gather="take",
+                interpret=False):
     """One launch = the whole render: returns [8, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
     4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
@@ -662,7 +789,8 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
     max_iters = spp * (cfg.max_depth + 2) + 4
     kern = functools.partial(
         _mega_kernel, cfg=cfg, npix=int(npix), e_cnt=int(e_cnt),
-        has_sss=bool(has_sss), kp=kp, cp=cp, n_clusters=int(n_clusters),
+        has_sss=bool(has_sss), has_refract=bool(has_refract),
+        kp=kp, cp=cp, n_clusters=int(n_clusters),
         l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
         cdf_window=int(cdf_window), spp=int(spp),
         max_iters=int(max_iters), gather=gather)

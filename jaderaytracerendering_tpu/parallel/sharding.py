@@ -222,7 +222,8 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
             has_sss=sd_.has_sss,
             env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),
             nb=int(sd_.sss_nb), cdf_window=16, spp=spp_local,
-            shard_px=shard_px, gather=cfg.mega_gather, interpret=interpret)
+            has_refract=sd_.has_refract, shard_px=shard_px,
+            gather=cfg.mega_gather, interpret=interpret)
         return jax.lax.psum(out, "spp")
 
     return jax.shard_map(

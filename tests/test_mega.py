@@ -76,7 +76,9 @@ def test_mega_film_resume():
                                rtol=1e-5, atol=1e-6)
 
 
-def test_mega_refract_scene_falls_back_to_pool():
+def test_mega_refract_scene_matches_scan():
+    """Direct-refraction scenes run the IN-KERNEL march (a while_loop
+    of nested sweeps) and must match the scan engine's XLA march."""
     ds = demo.jade_scene(n_buddha_tris=100, env_shape=(16, 32))
     ds.objects[0] = dataclasses.replace(
         ds.objects[0],
@@ -84,13 +86,13 @@ def test_mega_refract_scene_falls_back_to_pool():
             ds.objects[0].material, refract_mode=material.DIR_REFRACT,
             refract_index=1.5, refract_rate=(0.9, 0.9, 0.9)))
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
-    cfg = _cfg(engine="mega", spp=2, max_depth=3)
-    assert sd.has_refract and not mega.eligible(sd, cfg)
-    # render_film routes the ineligible scene to the pool engine
-    a = np.asarray(R.render_film(sd, ds.camera, cfg).mean())
-    b = np.asarray(
-        R.render_film(sd, ds.camera, cfg.replace(engine="pool")).mean())
-    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    cfg = _cfg(spp=2, max_depth=3, max_refract_bounces=8)
+    assert sd.has_refract and mega.eligible(sd, cfg)
+    a = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
 
 
 def test_mega_via_render_film_routing():

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--t", type=int, default=20_000)
     ap.add_argument("--m", type=int, default=16384)
+    ap.add_argument("--coherent", action="store_true",
+                    help="cluster-local ids (the megakernel's actual row "
+                         "distribution) instead of uniform-random")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +54,13 @@ def main():
     M = args.m
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.standard_normal((T, 32), dtype=np.float32))
-    idx = jnp.asarray(rng.integers(0, T, size=(1, M)), jnp.int32)
+    if args.coherent:
+        base = rng.integers(0, max(T - 256, 1), size=(M // TM, 1))
+        idx = jnp.asarray(
+            (base + rng.integers(0, 256, size=(M // TM, TM))).reshape(1, M),
+            jnp.int32)
+    else:
+        idx = jnp.asarray(rng.integers(0, T, size=(1, M)), jnp.int32)
 
     def mk(kern_body, name):
         def kernel(idx_ref, tab_ref, out_ref):
@@ -98,8 +107,32 @@ def main():
         return jnp.dot(oh, tab_ref[:].astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
 
+    def block_body(tab_ref, ids):
+        # coherent-block gather (ops/pallas/mega._take_rows 'block'):
+        # per-128-row block dynamic_gather + compare-select. The probe's
+        # random ids are the WORST case (range spans the whole table);
+        # production ids are cluster-local (1-3 blocks).
+        nrow = tab_ref.shape[0]
+        ids_t = ids[:, None]
+        blk_t = ids_t // 128
+        bmin = jnp.min(blk_t)
+        bmax = jnp.max(blk_t)
+
+        def body(b_, out):
+            import jax.lax as lax
+
+            base = jnp.minimum(b_ * 128, nrow - 128)
+            block = lax.dynamic_slice(tab_ref[:], (base, 0), (128, 32))
+            pos = jnp.clip(ids_t - base, 0, 127)
+            rows_b = jnp.take_along_axis(
+                block, jnp.broadcast_to(pos, (TM, 32)), axis=0)
+            return jnp.where(blk_t == b_, rows_b, out)
+
+        return jax.lax.fori_loop(bmin, bmax + 1, body,
+                                 jnp.zeros((TM, 32), jnp.float32))
+
     candidates = [mk(take_body, "take"), mk(loop_body, "loop"),
-                  mk(onehot_body, "onehot")]
+                  mk(block_body, "block"), mk(onehot_body, "onehot")]
 
     @jax.jit
     def xla_gather(idx, table):
