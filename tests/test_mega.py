@@ -20,8 +20,12 @@ from jaderaytracerendering_tpu.utils.config import RenderConfig
 
 
 def _cfg(**kw):
+    # mega_gather='take': the fast interpret-mode gather — the
+    # production 'loop'/'block' modes are pinned equal by
+    # test_mega_gather_modes_agree, so the semantic tests don't need to
+    # pay the interpreted 128-step gather loops (5-10x slower on CPU)
     base = dict(width=8, height=8, spp=4, spp_batch=4, max_depth=4,
-                traversal="sweep", rays_per_launch=64)
+                traversal="sweep", rays_per_launch=64, mega_gather="take")
     base.update(kw)
     return RenderConfig(**base)
 
