@@ -17,13 +17,10 @@ Eligibility (falls back to the pool engine via render.render_film):
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..core.film import Film
 from ..utils.config import RenderConfig
-from ..utils.logging import stage
 
 # VMEM budget for the resident tables (bytes); leaves room for the
 # kernel's scratch + in/out blocks inside the ~16 MB/core VMEM
