@@ -142,7 +142,12 @@ def _run_matrix(base) -> None:
 
             traceback.print_exc()
             mrays = 0.0
-        results[name] = _line(mrays, config=name)
+        eng = args.engine
+        if args.engine == "pool":
+            m2 = _subprocess_engine(args, "mega")
+            if m2 is not None and m2 > mrays:
+                mrays, eng = m2, "mega"
+        results[name] = _line(mrays, config=name, engine=eng)
         print(json.dumps(results[name]), flush=True)
     for name, eng in (("preview1024", "pool"), ("preview1024_mega", "mega")):
         try:
