@@ -114,22 +114,26 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
         jnp.asarray(cam.eye, jnp.float32),
         jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
-    ints = jnp.zeros((8,), jnp.int32).at[2].set(
-        jnp.asarray(film.count, jnp.int32)).reshape(1, 8)
     kcfg = cfg.replace(spp=1)  # kernel statics: spp passed separately
-    out = megak.render_mega(
-        sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
-        sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
-        trimat, envp, buk, win, ota,
-        cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
-        env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-        nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
-        has_refract=sd.has_refract, gather=cfg.mega_gather,
-        interpret=interpret)
-    rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
-        cfg.height, cfg.width, 3)
-    return Film(accum=film.accum + rad,
-                count=film.count + jnp.int32(cfg.spp))
+    accum = film.accum
+    done = 0
+    while done < cfg.spp:
+        step = min(max(1, cfg.mega_spp_batch), cfg.spp - done)
+        ints = jnp.zeros((8,), jnp.int32).at[2].set(
+            jnp.asarray(film.count, jnp.int32) + done).reshape(1, 8)
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
+            trimat, envp, buk, win, ota,
+            cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            nb=int(sd.sss_nb), cdf_window=16, spp=step,
+            has_refract=sd.has_refract, gather=cfg.mega_gather,
+            interpret=interpret)
+        accum = accum + jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
+            cfg.height, cfg.width, 3)
+        done += step
+    return Film(accum=accum, count=film.count + jnp.int32(cfg.spp))
 
 
 def render_film_preview_mega(sd, cam, cfg: RenderConfig, film=None,

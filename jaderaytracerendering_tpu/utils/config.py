@@ -40,6 +40,10 @@ class RenderConfig:
     engine: str = "pool"              # 'pool' (respawn compaction) |
     # 'scan' | 'mega' (whole-render single-launch Pallas megakernel,
     # integrator/mega.py; ineligible scenes fall back to the pool)
+    mega_spp_batch: int = 64          # megakernel: max samples per
+    # launch (a full-scale 1080p x 1024spp render as ONE dispatch would
+    # hold the tunnel for minutes; batching bounds per-call wall time
+    # while keeping the per-call fixed cost amortized over >=64 spp)
     mega_gather: str = "loop"         # megakernel in-kernel row-gather
     # mechanism: 'loop' (per-lane dynamic sublane indexing — the only
     # form Mosaic lowers today: its gather op is shape-preserving
