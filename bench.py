@@ -238,7 +238,7 @@ def _measure(args) -> float:
         from jaderaytracerendering_tpu.ops.pallas import mega as megak
 
         assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
-        trimat, envp, buk, win, ota, ltab, lights2 = mega_mod._tables(
+        tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega_mod._tables(
             sd, jnp)
         cam24 = jnp.concatenate([
             jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
@@ -254,7 +254,7 @@ def _measure(args) -> float:
             out = megak.render_mega(
                 sd.n_clusters, ints_, cam24, ltab, lights2,
                 sd.cluster_planes, sd.cluster_begin_col, sd.cluster_triu,
-                sd.cluster_coef, trimat, envp, buk, win, ota,
+                sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
                 cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),

@@ -24,7 +24,7 @@ from ..utils.config import RenderConfig
 
 # VMEM budget for the resident tables (bytes); leaves room for the
 # kernel's scratch + in/out blocks inside the ~16 MB/core VMEM
-MEGA_VMEM_BUDGET = 14 * 2 ** 20
+MEGA_VMEM_BUDGET = 15 * 2 ** 20
 
 _pack_cache: dict = {}
 
@@ -35,7 +35,7 @@ def eligible(sd, cfg: RenderConfig) -> bool:
     if sd.has_sss and not sd.sss_nb:
         return False
     total = (sd.cluster_coef.nbytes + sd.cluster_triu.nbytes
-             + sd.tri_mat_table.nbytes + sd.env_pack.nbytes
+             + sd.tri_table.nbytes + sd.env_pack.nbytes
              + (sd.sss_bucket.nbytes + sd.sss_window.nbytes
                 if sd.has_sss else 0))
     return total <= MEGA_VMEM_BUDGET
@@ -65,7 +65,8 @@ def _tables(sd, xp):
 
     import jax.numpy as jnp
 
-    trimat = jnp.asarray(_pack128(np.asarray(sd.tri_mat_table)))
+    tri8 = jnp.asarray(_pack128(np.asarray(sd.tri_table)))
+    mat16 = jnp.asarray(np.asarray(sd.mat_table, np.float32))
     envp = jnp.asarray(_pack128(np.asarray(sd.env_pack)))
     if sd.has_sss:
         buk = jnp.asarray(_pack128(np.asarray(sd.sss_bucket)))
@@ -88,7 +89,7 @@ def _tables(sd, xp):
          sd.emit_idx[:, None].astype(jnp.float32)], axis=1)
         if e_cnt else jnp.zeros((1, 8), jnp.float32))
 
-    out = (trimat, envp, buk, win, ota, ltab, lights2)
+    out = (tri8, mat16, envp, buk, win, ota, ltab, lights2)
     _pack_cache[key] = (weakref.ref(sd), out)
     if len(_pack_cache) > 8:
         for k in [k for k, v in _pack_cache.items() if v[0]() is None]:
@@ -109,7 +110,7 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
     npix = cfg.width * cfg.height
     if film is None:
         film = Film.create(cfg.height, cfg.width)
-    trimat, envp, buk, win, ota, ltab, lights2 = _tables(sd, jnp)
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = _tables(sd, jnp)
     cam24 = jnp.concatenate([
         jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
         jnp.asarray(cam.eye, jnp.float32),
@@ -124,7 +125,7 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         out = megak.render_mega(
             sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
             sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
-            trimat, envp, buk, win, ota,
+            tri8, mat16, envp, buk, win, ota,
             cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
             nb=int(sd.sss_nb), cdf_window=16, spp=step,
@@ -149,7 +150,7 @@ def render_film_preview_mega(sd, cam, cfg: RenderConfig, film=None,
     npix = cfg.width * cfg.height
     if film is None:
         film = Film.create(cfg.height, cfg.width)
-    trimat, envp, _, _, _, _, _ = _tables(sd, jnp)
+    tri8, mat16, envp, _, _, _, _, _ = _tables(sd, jnp)
     cam24 = jnp.concatenate([
         jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
         jnp.asarray(cam.eye, jnp.float32),
@@ -158,8 +159,8 @@ def render_film_preview_mega(sd, cam, cfg: RenderConfig, film=None,
         jnp.asarray(film.count, jnp.int32)).reshape(1, 8)
     out = megak.render_preview_mega(
         sd.n_clusters, ints, cam24, sd.cluster_planes,
-        sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef, trimat,
-        envp, cfg=cfg.replace(spp=1), npix=npix,
+        sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef, tri8,
+        mat16, envp, cfg=cfg.replace(spp=1), npix=npix,
         env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
         spp=int(cfg.spp), max_bounce=int(cfg.preview_bounces),
         gather=cfg.mega_gather, interpret=interpret)

@@ -126,14 +126,23 @@ def _sel4(rows, sub_row, width: int):
     return out
 
 
-def _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx_row, mode):
-    """Combined tri++mat rows for triangle ids [1, TM] -> (trow [16, TM],
+def _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx_row, mode):
+    """Tri + mat rows for triangle ids [1, TM] -> (trow [16, TM],
     mrow [16, TM]) — the in-kernel twin of wavefront._tri_mat_rows_t.
-    Table: tri_mat_table [T, 32] packed 4 rows per 128-lane row."""
-    rows = _take_rows(trimat_ref, idx_row // 4, idsl_ref, grow_ref, mode)
-    both = _sel4(rows, idx_row % 4, 32)               # [TM, 32]
-    both_t = jnp.transpose(both, (1, 0))              # [32, TM]
-    return both_t[0:16], both_t[16:32]
+    Triangle rows gather from tri_table packed 8 per 128-lane row; the
+    material row is a per-OBJECT select from the whole [O, 16] material
+    table (objects are few — carrying 16 mat columns per TRIANGLE like
+    the XLA path's combined tri_mat_table would cost 2x the VMEM)."""
+    rows = _take_rows(tri8_ref, idx_row // 8, idsl_ref, grow_ref, mode)
+    tri16 = _sel4(rows, idx_row % 8, 16)              # [TM, 16]
+    trow = jnp.transpose(tri16, (1, 0))               # [16, TM]
+    obj = trow[12:13].astype(jnp.int32)               # TRI_OBJ
+    mrow = jnp.zeros_like(trow)
+    for o_ in range(mat_ref.shape[0]):
+        mrow = jnp.where(obj == o_,
+                         jnp.transpose(mat_ref[o_:o_ + 1, :], (1, 0)),
+                         mrow)
+    return trow, mrow
 
 
 _PI_F = 3.14159265358979
@@ -384,8 +393,8 @@ def _feats16(o: V3, d: V3):
 # --------------------------------------------------------------------------
 
 def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
-                 begin_ref, triu_ref, coefs_ref, trimat_ref, env_ref,
-                 buk_ref, win_ref, ota_ref, out_ref,
+                 begin_ref, triu_ref, coefs_ref, tri8_ref, mat_ref,
+                 env_ref, buk_ref, win_ref, ota_ref, out_ref,
                  fst_ref, mst_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
                  idsl_ref, grow_ref, *, cfg, npix: int, e_cnt: int,
                  has_sss: bool, has_refract: bool,
@@ -503,7 +512,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 active, us[0], us[1], mrow[7].astype(jnp.int32),
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
-            et_row, em_row = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+            et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                          exit_tri, gm_scat)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
@@ -557,7 +566,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 step_ok = live & hit_m
                 rdir_u = _unit_p(rdir)
                 hp = src + rdir_u * bt_m
-                irow, rrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+                irow, rrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                          idx_m, gm_coh)
                 n_i = V3(irow[9:10], irow[10:11], irow[11:12])
                 new_rdir, full_reflex = sampling.refract_dir_p(
@@ -633,7 +642,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                             cfg.hdr_clamp, gm_scat)
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
-        crow_t, cmrow_t = _rows_fetch(trimat_ref, idsl_ref, grow_ref, c_idx,
+        crow_t, cmrow_t = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
                                       gm_coh)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
@@ -705,7 +714,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             p_idx = jnp.where(p_hit, p_bi, 0)
             psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
                                cfg.hdr_clamp, gm_coh)
-            row0, p_mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref,
+            row0, p_mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                        p_idx, gm_coh)
             miss = got & ~p_hit
             st_r = got & p_hit
@@ -774,7 +783,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     "env_shape", "nb", "cdf_window", "spp", "shard_px", "l_cap", "gather",
     "interpret"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
-                sd_triu, sd_coef, trimat, envp, buk, win, ota, *, cfg, npix,
+                sd_triu, sd_coef, tri8, mat16, envp, buk, win, ota, *, cfg,
+                npix,
                 e_cnt, has_sss, env_shape, nb, cdf_window, spp,
                 has_refract=False, shard_px=None, l_cap=64, gather="take",
                 interpret=False):
@@ -798,7 +808,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
     out = pl.pallas_call(
         kern,
         grid=(mp // TM,),
-        in_specs=[whole] * 13,
+        in_specs=[whole] * 14,
         out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
@@ -814,7 +824,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         ],
         interpret=interpret,
     )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
-      trimat, envp, buk, win, ota)
+      tri8, mat16, envp, buk, win, ota)
     return out
 
 
@@ -823,7 +833,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
 # --------------------------------------------------------------------------
 
 def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
-                    coefs_ref, trimat_ref, env_ref, out_ref,
+                    coefs_ref, tri8_ref, mat_ref, env_ref, out_ref,
                     ids_ref, cnt_ref, btw_ref, bw_ref, idsl_ref, grow_ref, *,
                     cfg, npix: int, kp: int, cp: int, n_clusters: int,
                     l_cap: int, env_shape, spp: int,
@@ -890,7 +900,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         idx0 = jnp.where(hit0, bi0, 0)
         sky0 = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
                            cfg.hdr_clamp, gm_coh)
-        _, mrow0 = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx0, gm_coh)
+        _, mrow0 = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx0, gm_coh)
         le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
 
         ones = jnp.ones((1, tm), jnp.float32)
@@ -902,7 +912,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         tri = idx0
 
         for b in range(max_bounce):
-            trow, mrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, tri,
+            trow, mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, tri,
                                      gm_coh)
             normal = V3(trow[9:10], trow[10:11], trow[11:12])
             brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
@@ -921,7 +931,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                 active.astype(jnp.float32)) > 0.0)
             hit = bt < INF
             idx = jnp.where(hit, bi, 0)
-            _, nmrow = _rows_fetch(trimat_ref, idsl_ref, grow_ref, idx,
+            _, nmrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx,
                                    gm_coh)
             n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
             cos_i = jnp.abs(vm.vdot(wi, normal))
@@ -951,7 +961,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
     "n_clusters", "cfg", "npix", "env_shape", "spp",
     "max_bounce", "l_cap", "gather", "interpret"))
 def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
-                        sd_coef, trimat, envp, *, cfg, npix, env_shape,
+                        sd_coef, tri8, mat16, envp, *, cfg, npix, env_shape,
                         spp, max_bounce=2, l_cap=64,
                         gather="take", interpret=False):
     """One launch = one whole progressive preview frame ([8, Mp] f32,
@@ -967,7 +977,7 @@ def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
     return pl.pallas_call(
         kern,
         grid=(mp // TM,),
-        in_specs=[whole] * 8,
+        in_specs=[whole] * 9,
         out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
@@ -980,4 +990,4 @@ def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
             pltpu.VMEM((TM, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(ints, cam, sd_planes, sd_begin, sd_triu, sd_coef, trimat, envp)
+    )(ints, cam, sd_planes, sd_begin, sd_triu, sd_coef, tri8, mat16, envp)

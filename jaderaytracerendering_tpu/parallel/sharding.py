@@ -202,12 +202,12 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
     x pallas composition the pod actually executes."""
     from ..ops.pallas import mega as megak
 
-    trimat, envp, buk, win, ota, ltab, lights2 = tabs
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = tabs
     n_spp = mesh.shape["spp"]
     spp_local = cfg.spp // n_spp
     npix = cfg.width * cfg.height
 
-    def shard_fn(trimat_, envp_, buk_, win_, ota_, ltab_, lights2_,
+    def shard_fn(tri8_, mat16_, envp_, buk_, win_, ota_, ltab_, lights2_,
                  cam24_, base_, sd_):
         t = jax.lax.axis_index("tile")
         s_ = jax.lax.axis_index("spp")
@@ -217,7 +217,7 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
         out = megak.render_mega(
             sd_.n_clusters, ints, cam24_, ltab_, lights2_,
             sd_.cluster_planes, sd_.cluster_begin_col, sd_.cluster_triu,
-            sd_.cluster_coef, trimat_, envp_, buk_, win_, ota_,
+            sd_.cluster_coef, tri8_, mat16_, envp_, buk_, win_, ota_,
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd_.n_emit,
             has_sss=sd_.has_sss,
             env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),
@@ -228,10 +228,10 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(),) * 10,
+        in_specs=(P(),) * 11,
         out_specs=P(None, "tile"),
         check_vma=False,
-    )(trimat, envp, buk, win, ota, ltab, lights2, cam24,
+    )(tri8, mat16, envp, buk, win, ota, ltab, lights2, cam24,
       jnp.asarray(sample_base, jnp.int32), sd)
 
 
