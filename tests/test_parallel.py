@@ -138,7 +138,10 @@ def test_sharded_mega_engine_matches_single(scene):
 
     from jaderaytracerendering_tpu.integrator import mega as mega_mod
 
-    cfg = _cfg(engine="mega", traversal="sweep", spp=4)
+    # take-gather: the fast interpret path (loop/block pinned equal in
+    # test_mega); the sharded composition is what this test validates
+    cfg = _cfg(engine="mega", traversal="sweep", spp=4,
+               mega_gather="take")
     ds, sd = scene
     assert mega_mod.eligible(sd, cfg)
     single = np.asarray(mega_mod.render_film_mega(sd, ds.camera, cfg).mean())
