@@ -72,7 +72,7 @@ def _kernel(ints_ref, cam_ref, su_ref, triu_ref, feats_ref, meta_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        acc_ref[0, 0] = 0
+        acc_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
 
     # ---- global fresh-lane cumsum (scanops.cumsum_indicator semantics:
     # exact f32 matmul of a 0/1 row, totals << 2^24) ----
@@ -81,7 +81,8 @@ def _kernel(ints_ref, cam_ref, su_ref, triu_ref, feats_ref, meta_ref,
                      preferred_element_type=jnp.float32)
     base = acc_ref[0, 0]
     k = within.astype(jnp.int32) + base
-    acc_ref[0, 0] = base + jnp.sum(f32row).astype(jnp.int32)
+    acc_ref[0:1, 0:1] = acc_ref[0:1, 0:1] + jnp.sum(
+        f32row, axis=1, keepdims=True).astype(jnp.int32)
 
     # ---- work-queue sample assignment (pool.py::spawn) ----
     next_sample = ints_ref[0:1, 0:1]

@@ -1,0 +1,113 @@
+"""AOT TPU lowering gate for every Pallas kernel entry.
+
+``jax.jit(...).trace(...).lower(lowering_platforms=('tpu',))`` runs the
+pallas->Mosaic lowering WITHOUT TPU hardware, so Mosaic op-support
+violations (unsupported primitives, scalar VMEM stores, illegal
+gathers) surface in CI instead of on the first real-chip compile.
+(It caught a real one: spawn_front's scalar accumulator stores.)
+Backend-stage failures (VMEM overflow, layout legalization) still need
+the chip — this pins the op-support class only.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jaderaytracerendering_tpu.integrator import mega as mega_mod
+from jaderaytracerendering_tpu.models import demo
+from jaderaytracerendering_tpu.scene import material
+from jaderaytracerendering_tpu.scene.scene import assemble
+from jaderaytracerendering_tpu.utils.config import RenderConfig
+
+
+def _lower(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+@pytest.fixture(scope="module")
+def jade():
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    return ds, assemble(ds.objects, ds.env_map, xp=jnp)
+
+
+def test_spawn_front_lowers_for_tpu():
+    from jaderaytracerendering_tpu.ops.pallas import spawn_front
+
+    su = jnp.zeros((8, 256), jnp.int32)
+    ints = jnp.zeros((1, 8), jnp.int32)
+    cam = jnp.zeros((1, 24), jnp.float32)
+    _lower(lambda a, b, c: spawn_front.spawn_primary(
+        a, b, c, 64, 8, 8, 0, "cuda", -1.5), su, ints, cam)
+
+
+def _mega_args(sd):
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega_mod._tables(
+        sd, jnp)
+    cam24 = jnp.zeros((1, 24), jnp.float32)
+    ints = jnp.zeros((1, 8), jnp.int32)
+    return (ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota)
+
+
+@pytest.mark.parametrize("gather", ["loop", "block"])
+def test_mega_lowers_for_tpu(jade, gather):
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8).replace(spp=1)
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            nb=int(sd.sss_nb), cdf_window=16, spp=4, has_refract=False,
+            gather=gather, interpret=False)
+
+    _lower(f, *_mega_args(sd))
+
+
+def test_mega_refract_lowers_for_tpu():
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds = demo.jade_scene(n_buddha_tris=100, env_shape=(16, 32))
+    ds.objects[0] = dataclasses.replace(
+        ds.objects[0],
+        material=dataclasses.replace(
+            ds.objects[0].material, refract_mode=material.DIR_REFRACT,
+            refract_index=1.5, refract_rate=(0.9, 0.9, 0.9)))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = RenderConfig(width=8, height=8, max_refract_bounces=8).replace(
+        spp=1)
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            nb=int(sd.sss_nb), cdf_window=16, spp=2,
+            has_refract=True, gather="loop", interpret=False)
+
+    _lower(f, *_mega_args(sd))
+
+
+def test_preview_mega_lowers_for_tpu(jade):
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    tri8, mat16, envp, _, _, _, _, _ = mega_mod._tables(sd, jnp)
+    cam24 = jnp.zeros((1, 24), jnp.float32)
+    ints = jnp.zeros((1, 8), jnp.int32)
+    cfg = RenderConfig(width=8, height=8).replace(spp=1)
+
+    def f(*a):
+        return megak.render_preview_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            spp=1, max_bounce=2, gather="loop", interpret=False)
+
+    _lower(f, ints, cam24, sd.cluster_planes, sd.cluster_begin_col,
+           sd.cluster_triu, sd.cluster_coef, tri8, mat16, envp)
