@@ -122,3 +122,18 @@ def test_mega_preview_matches_xla_preview():
                                atol=1e-6 * scale, rtol=1e-5)
     assert np.abs(np.asarray(da).astype(int)
                   - np.asarray(db).astype(int)).max() <= 1
+
+
+def test_mega_no_lights_env_only():
+    """e_cnt=0: no NEE segments, env-only illumination — the static
+    light loops must vanish cleanly."""
+    ds = demo.tiny_scene()
+    objs = [o for o in ds.objects if max(o.material.emissive) < 1e-3]
+    sd = assemble(objs, ds.env_map, xp=jnp)
+    assert sd.n_emit == 0
+    cfg = _cfg(spp=2, max_depth=3)
+    a = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
