@@ -72,6 +72,8 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
     table-shaped 'take' works in interpret mode only (kept for tests
     and future Mosaic support)."""
     tm = ids_row.shape[1]
+    if mode == "zero":  # perf ablation (_debug='nogather'): no fetch
+        return jnp.zeros((tm, 128), jnp.float32)
     if mode == "take":
         return jnp.take(tab_ref[:], ids_row[0], axis=0).astype(jnp.float32)
     if mode == "block":
@@ -400,7 +402,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  has_sss: bool, has_refract: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
-                 max_iters: int, gather: str):
+                 max_iters: int, gather: str, debug: str = "full"):
     from ...core import camera as camera_mod
     from ...core import rng
     from ...core.rng import DrawSites as S
@@ -454,17 +456,24 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     l_eidx = [lights_ref[i:i + 1, 7:8].astype(jnp.int32)
               for i in range(e_cnt)]
 
-    sweep = functools.partial(
+    _base_sweep = functools.partial(
         _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
         triu_ref=triu_ref, coefs_ref=coefs_ref, ids_ref=ids_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
         n_clusters=n_clusters, l_cap=l_cap)
+
+    def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
+        if debug == "notrace":
+            gate = jnp.float32(0) > 0.0
+        return _base_sweep(*a, gate=gate, **k)
 
     # 'block' only pays off for COHERENT ids (cluster-local triangle
     # rows, primary-ray env texels); scattered fetches (CDF buckets,
     # uniform-sphere bounce-direction env texels) keep the lane loop
     gm_coh = gather
     gm_scat = "loop" if gather == "block" else gather
+    if debug == "nogather":  # ablation: all in-kernel gathers stubbed
+        gm_coh = gm_scat = "zero"
 
     # ---- init per-tile state ----
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
@@ -781,13 +790,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "has_refract",
     "env_shape", "nb", "cdf_window", "spp", "shard_px", "l_cap", "gather",
-    "interpret"))
+    "interpret", "_debug"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 sd_triu, sd_coef, tri8, mat16, envp, buk, win, ota, *, cfg,
                 npix,
                 e_cnt, has_sss, env_shape, nb, cdf_window, spp,
                 has_refract=False, shard_px=None, l_cap=64, gather="take",
-                interpret=False):
+                interpret=False, _debug="full"):
     """One launch = the whole render: returns [8, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
     4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
@@ -803,7 +812,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         kp=kp, cp=cp, n_clusters=int(n_clusters),
         l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
         cdf_window=int(cdf_window), spp=int(spp),
-        max_iters=int(max_iters), gather=gather)
+        max_iters=int(max_iters), gather=gather, debug=_debug)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
