@@ -36,6 +36,8 @@ def main() -> None:
     ap.add_argument("--rays-per-launch", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
     ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
+    ap.add_argument("--mega-gather", default="loop",
+                    choices=["loop", "mxu", "mxuloop", "block", "take"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     ap.add_argument("--all", action="store_true",
@@ -230,7 +232,7 @@ def _measure(args) -> float:
         width=args.width, height=args.height, spp=args.spp,
         spp_batch=args.spp_batch, max_depth=args.depth,
         rays_per_launch=args.rays_per_launch, traversal=args.traversal,
-        engine=args.engine,
+        engine=args.engine, mega_gather=getattr(args, "mega_gather", "loop"),
     )
 
     if args.engine == "mega":

@@ -60,7 +60,7 @@ TM = 128
 # in-kernel gathers from 128-lane-packed tables (scene.mega_pack layout)
 # --------------------------------------------------------------------------
 
-def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
+def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None):
     """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128] f32
     (i32 tables are value-exact in f32 up to 2^24 — all of ours are).
 
@@ -104,6 +104,43 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
 
         return jax.lax.fori_loop(idsl_ref[0, 0], idsl_ref[1, 0] + 1, body,
                                  jnp.zeros((tm, 128), jnp.float32))
+    if mode == "mxu":
+        # one-hot MXU gather, EXACT and VMEM-free: loop the spanned
+        # 128-row block range; per block, rows = onehot([TM, 128]) @
+        # block([128, 128]) at Precision.HIGHEST. The one-hot operand
+        # is exactly 0/1, so every bf16 pass multiplies by 1.0 and the
+        # 6-pass HIGHEST decomposition reconstructs each f32 table row
+        # bit-exactly (b_hi + b_lo + ... = b). ~0.5 us/block vs the
+        # serial loop's fixed ~128 row loads: a big win for coherent
+        # ids (cluster-local tri rows, primary env texels, 1-3 blocks)
+        # and a wash for fully scattered ones. tpu.dynamic_gather
+        # ('block' mode) is NOT an option: Mosaic only lowers gathers
+        # whose source spans one vreg along the gather dim (<= 8 f32
+        # sublanes), measured as an HTTP-500 backend reject.
+        nrow = tab_ref.shape[0]
+        ids_t = jnp.transpose(ids_row, (1, 0))        # [TM, 1]
+        blk_t = ids_t // 128
+        idsl_ref[0:1, 0:1] = jnp.min(blk_t, axis=0, keepdims=True)
+        idsl_ref[1:2, 0:1] = jnp.max(blk_t, axis=0, keepdims=True)
+        io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
+
+        def mbody(b_, acc):
+            base = jnp.minimum(b_ * 128, nrow - 128)
+            block = tab_ref[pl.ds(base, 128), :].astype(jnp.float32)
+            # blk_t == b_ guards the clamped last window: ids inside
+            # the overlap of the clamped base and the previous block
+            # must contribute exactly once
+            oh = ((io == ids_t - base) & (blk_t == b_)).astype(
+                jnp.float32)
+            return acc + jnp.dot(oh, block,
+                                 precision=jax.lax.Precision.HIGHEST)
+
+        lo_b = idsl_ref[0, 0]
+        hi_b = idsl_ref[1, 0] + 1
+        if gate is not None:
+            hi_b = jnp.where(gate, hi_b, lo_b)
+        return jax.lax.fori_loop(lo_b, hi_b, mbody,
+                                 jnp.zeros((tm, 128), jnp.float32))
     idsl_ref[:] = jnp.transpose(ids_row, (1, 0))
 
     def one(l, carry):
@@ -111,7 +148,14 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str):
         grow_ref[pl.ds(l, 1), :] = row.astype(jnp.float32)
         return carry
 
-    jax.lax.fori_loop(0, tm, one, 0)
+    # activity gate: a dynamic trip count of 0 skips the whole serial
+    # 128-row loop when no lane in the tile consumes this site's rows
+    # (the caller masks every downstream use, so the stale grow_ref
+    # contents are never observed). The gather loops are ~63% of the
+    # megakernel's wall time (megaprobe full vs nogather), and on the
+    # sky-heavy bench most tiles need only the primary env fetch.
+    trip = tm if gate is None else jnp.where(gate, tm, 0)
+    jax.lax.fori_loop(0, trip, one, 0)
     return grow_ref[:]
 
 
@@ -128,14 +172,16 @@ def _sel4(rows, sub_row, width: int):
     return out
 
 
-def _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx_row, mode):
+def _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx_row, mode,
+                gate=None):
     """Tri + mat rows for triangle ids [1, TM] -> (trow [16, TM],
     mrow [16, TM]) — the in-kernel twin of wavefront._tri_mat_rows_t.
     Triangle rows gather from tri_table packed 8 per 128-lane row; the
     material row is a per-OBJECT select from the whole [O, 16] material
     table (objects are few — carrying 16 mat columns per TRIANGLE like
     the XLA path's combined tri_mat_table would cost 2x the VMEM)."""
-    rows = _take_rows(tri8_ref, idx_row // 8, idsl_ref, grow_ref, mode)
+    rows = _take_rows(tri8_ref, idx_row // 8, idsl_ref, grow_ref, mode,
+                      gate=gate)
     tri16 = _sel4(rows, idx_row % 8, 16)              # [TM, 16]
     trow = jnp.transpose(tri16, (1, 0))               # [16, TM]
     obj = trow[12:13].astype(jnp.int32)               # TRI_OBJ
@@ -181,7 +227,8 @@ def _asin(y):
     return _atan2(y, jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)))
 
 
-def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode):
+def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
+                gate=None):
     """In-kernel twin of envmap.sample_env_packed_p ([1, TM] planes):
     one row gather from the packed 2x2 bilinear table (8 entries of 16
     per 128-lane row) + the same math, with the equirect angles from
@@ -200,7 +247,8 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode):
     x0i = jnp.clip(x0.astype(jnp.int32), -1, w - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
     rid = (y0i + 1) * (w + 1) + (x0i + 1)             # [1, TM]
-    rows = _take_rows(env_ref, rid // 8, idsl_ref, grow_ref, mode)
+    rows = _take_rows(env_ref, rid // 8, idsl_ref, grow_ref, mode,
+                      gate=gate)
     rowt = jnp.transpose(_sel4(rows, rid % 8, 16), (1, 0))  # [16, TM]
     c00 = vm.v3rows(rowt, 0)
     c01 = vm.v3rows(rowt, 3)
@@ -213,7 +261,7 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode):
 
 
 def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
-              cdf_window: int, mode):
+              cdf_window: int, mode, gate=None):
     """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
     bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
     extraction) -> window row (CDF_WINDOW prefix f32 + CDF_WINDOW ids,
@@ -221,7 +269,8 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
     tm = u.shape[1]
     b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
     bid = obj * nb + b                                # [1, TM]
-    rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode)
+    rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode,
+                      gate=gate)
     p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
     io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
     jlo = jnp.transpose(jnp.sum(jnp.where(io == p2_t, rows, 0.0),
@@ -232,7 +281,8 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
                         (1, 0)).astype(jnp.int32)
     target = u * ota
     per = 128 // (2 * cdf_window)
-    wrows = _take_rows(win_ref, jlo // per, idsl_ref, grow_ref, mode)
+    wrows = _take_rows(win_ref, jlo // per, idsl_ref, grow_ref, mode,
+                       gate=gate)
     wrow = jnp.transpose(_sel4(wrows, jlo % per, 2 * cdf_window),
                          (1, 0))                      # [2W, TM]
     width = jhi - jlo
@@ -358,8 +408,12 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
 
     empty = n_act == 0
     if anyhit:
-        hit_any = jnp.max(btw_ref[:], axis=1, keepdims=True) > 0.0
-        bt = jnp.where(empty | ~jnp.transpose(hit_any, (1, 0)), INF, 1.0)
+        # transpose the f32 reduction, not the bool: Mosaic's backend
+        # cannot legalize tpu.transpose on i1 vectors (measured HTTP-500
+        # on hardware; the AOT lowering gate does not reach that stage).
+        hmax_t = jnp.transpose(
+            jnp.max(btw_ref[:], axis=1, keepdims=True), (1, 0))
+        bt = jnp.where(empty | (hmax_t <= 0.0), INF, 1.0)
         return bt, jnp.zeros((1, tm), jnp.int32)
     btw = btw_ref[:]
     tmin = jnp.min(btw, axis=1, keepdims=True)
@@ -471,11 +525,23 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # rows, primary-ray env texels); scattered fetches (CDF buckets,
     # uniform-sphere bounce-direction env texels) keep the lane loop
     gm_coh = gather
-    gm_scat = "loop" if gather == "block" else gather
+    gm_scat = "loop" if gather in ("block", "mxuloop") else gather
+    if gather == "mxuloop":  # hybrid: one-hot MXU for coherent ids,
+        gm_coh = "mxu"       # serial lane loop for scattered ones
     if debug == "nogather":  # ablation: all in-kernel gathers stubbed
         gm_coh = gm_scat = "zero"
+    # per-site-class ablations (megaprobe --debug noenv,nocdf,norows):
+    # env texel fetches / the SSS pick chain (CDF bucket+window rows +
+    # exit-tri rows) / tri+mat row fetches (continuation + primary)
+    gm_env = "zero" if debug == "noenv" else gm_scat
+    gm_cdf = "zero" if debug == "nocdf" else gm_scat
+    gm_row = "zero" if debug == "norows" else gm_coh
 
     # ---- init per-tile state ----
+    # grow is gather scratch: with activity-gated loops its stale
+    # contents can reach (masked) selects — zero it once so skipped
+    # gathers never surface uninitialized-VMEM NaN bit patterns
+    grow_ref[:] = jnp.zeros_like(grow_ref[:])
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
     # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
     # 4 smp (in-flight sample id), 5-7 spare
@@ -514,15 +580,20 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             ota = jnp.zeros((1, tm), jnp.float32)
             for o_ in range(ota_ref.shape[0]):
                 ota = jnp.where(obj == o_, ota_ref[o_, 0], ota)
-            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
-                                 us[2], obj, ota, nb, cdf_window, gm_scat)
+            # branch masks FIRST so the whole SSS pick chain (bucket +
+            # window + exit-tri rows: 4 serial gather loops) is skipped
+            # when no lane in the tile exits an SSS walk this iteration
             emis0 = vm.v3rows(mrow, 0)
             _, _, _, _, sss_exit0, _, _, _ = wavefront._branch_masks(
                 active, us[0], us[1], mrow[7].astype(jnp.int32),
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
+            g_sss = jnp.sum(sss_exit0.astype(jnp.float32)) > 0.0
+            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
+                                 us[2], obj, ota, nb, cdf_window, gm_cdf,
+                                 gate=g_sss)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
             et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                         exit_tri, gm_scat)
+                                         exit_tri, gm_cdf, gate=g_sss)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
             eobj = et_row[12:13].astype(jnp.int32)
@@ -575,8 +646,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 step_ok = live & hit_m
                 rdir_u = _unit_p(rdir)
                 hp = src + rdir_u * bt_m
-                irow, rrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                         idx_m, gm_coh)
+                irow, rrow = _rows_fetch(
+                    tri8_ref, mat_ref, idsl_ref, grow_ref, idx_m, gm_row,
+                    gate=jnp.sum(step_ok.astype(jnp.float32)) > 0.0)
                 n_i = V3(irow[9:10], irow[10:11], irow[11:12])
                 new_rdir, full_reflex = sampling.refract_dir_p(
                     rdir_u, n_i, miu, jnp)
@@ -645,14 +717,23 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # 6-8 raw hdir -> _unit_p; rows 9-11 = front's cdir_u)
         hdir_u = _unit_p(f.hdir)
         cdir_u = _unit_p(f.cdir)
+        # gate each env gather on its EXACT consumers (resolve_tail):
+        # sky feeds only `needs_nee & ~h_hit` (NEE env when the HDR
+        # shadow ray escapes); sky_c feeds only the mirror/direct-
+        # refraction sky-on-miss break (`(is_mirror|is_dirref) &
+        # ~c_hit`) — on mirror-free scenes the sky_c loop never runs
+        g_nee = jnp.sum((f.needs_nee & ~h_hit).astype(jnp.float32)) > 0.0
+        g_skyc = jnp.sum(((f.is_mirror | f.is_dirref)
+                          & ~c_hit).astype(jnp.float32)) > 0.0
         sky = _env_sample(env_ref, idsl_ref, grow_ref, hdir_u, env_shape,
-                          cfg.hdr_clamp, gm_scat)
+                          cfg.hdr_clamp, gm_env, gate=g_nee)
         sky_c = _env_sample(env_ref, idsl_ref, grow_ref, cdir_u, env_shape,
-                            cfg.hdr_clamp, gm_scat)
+                            cfg.hdr_clamp, gm_env, gate=g_skyc)
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
+        g_chit = jnp.sum(c_hit.astype(jnp.float32)) > 0.0
         crow_t, cmrow_t = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
-                                      gm_coh)
+                                      gm_row, gate=g_chit)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
             jnp, e_cnt, has_sss, has_refract, cfg.rr_rate, cfg.sss_rate,
@@ -721,13 +802,15 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                                anyhit=False, gate=any_got)
             p_hit = p_bt < INF
             p_idx = jnp.where(p_hit, p_bi, 0)
-            psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                               cfg.hdr_clamp, gm_coh)
-            row0, p_mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                       p_idx, gm_coh)
             miss = got & ~p_hit
             st_r = got & p_hit
             st2d = st_r[0]
+            g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
+            g_st = jnp.sum(st_r.astype(jnp.float32)) > 0.0
+            psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
+                               cfg.hdr_clamp, gm_env, gate=g_miss)
+            row0, p_mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
+                                       p_idx, gm_row, gate=g_st)
             sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
             n_got = n_got + got.astype(jnp.float32)
             started = started | st_r
@@ -883,7 +966,9 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         n_clusters=n_clusters, l_cap=l_cap, anyhit=False)
 
     gm_coh = gather
-    gm_scat = "loop" if gather == "block" else gather
+    gm_scat = "loop" if gather in ("block", "mxuloop") else gather
+    if gather == "mxuloop":  # hybrid: one-hot MXU for coherent ids,
+        gm_coh = "mxu"       # serial lane loop for scattered ones
     film = V3(zrow, zrow, zrow)
     px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
     py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
@@ -907,9 +992,12 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         bt0, bi0 = sweep(pf, jnp.full((1, tm), -1, jnp.int32), gate=true_g)
         hit0 = bt0 < INF
         idx0 = jnp.where(hit0, bi0, 0)
+        g_m0 = jnp.sum((pix_ok & ~hit0).astype(jnp.float32)) > 0.0
+        g_h0 = jnp.sum(hit0.astype(jnp.float32)) > 0.0
         sky0 = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                           cfg.hdr_clamp, gm_coh)
-        _, mrow0 = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx0, gm_coh)
+                           cfg.hdr_clamp, gm_coh, gate=g_m0)
+        _, mrow0 = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx0,
+                               gm_coh, gate=g_h0)
         le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
 
         ones = jnp.ones((1, tm), jnp.float32)
@@ -921,8 +1009,9 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         tri = idx0
 
         for b in range(max_bounce):
+            g_act = jnp.sum(active.astype(jnp.float32)) > 0.0
             trow, mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, tri,
-                                     gm_coh)
+                                     gm_coh, gate=g_act)
             normal = V3(trow[9:10], trow[10:11], trow[11:12])
             brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
             w1 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_COS),
@@ -940,16 +1029,18 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                 active.astype(jnp.float32)) > 0.0)
             hit = bt < INF
             idx = jnp.where(hit, bi, 0)
+            g_hit = jnp.sum((active & hit).astype(jnp.float32)) > 0.0
             _, nmrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx,
-                                   gm_coh)
+                                   gm_coh, gate=g_hit)
             n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
             cos_i = jnp.abs(vm.vdot(wi, normal))
             f_r = brdf * (1.0 / PI)
             weight = f_r * cos_i * (2.0 * PI)
 
-            sky = _env_sample(env_ref, idsl_ref, grow_ref, wi_u, env_shape,
-                              cfg.hdr_clamp, gm_scat)
             miss = active & ~hit
+            sky = _env_sample(env_ref, idsl_ref, grow_ref, wi_u, env_shape,
+                              cfg.hdr_clamp, gm_scat,
+                              gate=jnp.sum(miss.astype(jnp.float32)) > 0.0)
             lo = lo + vwhere(miss, history * sky * weight, 0.0, jnp)
             lo = lo + vwhere(active & hit, history * n_emis * weight, 0.0,
                              jnp)

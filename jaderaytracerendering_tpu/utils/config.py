@@ -45,11 +45,12 @@ class RenderConfig:
     # hold the tunnel for minutes; batching bounds per-call wall time
     # while keeping the per-call fixed cost amortized over >=64 spp)
     mega_gather: str = "loop"         # megakernel in-kernel row-gather
-    # mechanism: 'loop' (per-lane dynamic sublane indexing — the only
-    # form Mosaic lowers today: its gather op is shape-preserving
-    # take_along_axis, jax/_src/pallas/mosaic/lowering.py:2464-2524) |
-    # 'take' (jnp.take; interpret-mode/testing only until Mosaic grows
-    # table-shaped gathers)
+    # mechanism: 'loop' (per-lane dynamic sublane indexing, fixed ~128
+    # serial row loads) | 'mxu' (per-128-row-block one-hot matmul at
+    # Precision.HIGHEST — bit-exact, cost scales with the id spread;
+    # wins on coherent ids) | 'take' (jnp.take; interpret-mode/testing
+    # only — Mosaic's vector gather is shape-preserving take_along_axis
+    # within one vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m

@@ -52,7 +52,7 @@ def _mega_args(sd):
             tri8, mat16, envp, buk, win, ota)
 
 
-@pytest.mark.parametrize("gather", ["loop", "block"])
+@pytest.mark.parametrize("gather", ["loop", "block", "mxu"])
 def test_mega_lowers_for_tpu(jade, gather):
     from jaderaytracerendering_tpu.ops.pallas import mega as megak
 
