@@ -37,7 +37,7 @@ def main() -> None:
     ap.add_argument("--traversal", default="sweep")
     ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
     ap.add_argument("--mega-gather", default="loop",
-                    choices=["loop", "mxu", "mxuloop", "block", "take"])
+                    choices=["loop", "mxu", "mxuloop", "auto", "block", "take"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     ap.add_argument("--all", action="store_true",

@@ -60,7 +60,8 @@ TM = 128
 # in-kernel gathers from 128-lane-packed tables (scene.mega_pack layout)
 # --------------------------------------------------------------------------
 
-def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None):
+def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
+               mask=None):
     """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128] f32
     (i32 tables are value-exact in f32 up to 2^24 — all of ours are).
 
@@ -120,8 +121,21 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None):
         nrow = tab_ref.shape[0]
         ids_t = jnp.transpose(ids_row, (1, 0))        # [TM, 1]
         blk_t = ids_t // 128
-        idsl_ref[0:1, 0:1] = jnp.min(blk_t, axis=0, keepdims=True)
-        idsl_ref[1:2, 0:1] = jnp.max(blk_t, axis=0, keepdims=True)
+        if mask is not None:
+            # consumer mask tightens the block span: non-consumer lanes
+            # carry junk/zero ids that would otherwise stretch
+            # [bmin, bmax] (e.g. crow's miss lanes hold id 0)
+            # transpose in i32: Mosaic's backend rejects tpu.transpose
+            # on i1 vectors (the round-3 megakernel HTTP-500 class)
+            mask_t = jnp.transpose(
+                mask.astype(jnp.int32), (1, 0)) != 0  # [TM, 1]
+            bmin2 = jnp.where(mask_t, blk_t, jnp.int32(2 ** 30))
+            bmax2 = jnp.where(mask_t, blk_t, jnp.int32(-1))
+        else:
+            mask_t = None
+            bmin2 = bmax2 = blk_t
+        idsl_ref[0:1, 0:1] = jnp.min(bmin2, axis=0, keepdims=True)
+        idsl_ref[1:2, 0:1] = jnp.max(bmax2, axis=0, keepdims=True)
         io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
 
         def mbody(b_, acc):
@@ -130,8 +144,10 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None):
             # blk_t == b_ guards the clamped last window: ids inside
             # the overlap of the clamped base and the previous block
             # must contribute exactly once
-            oh = ((io == ids_t - base) & (blk_t == b_)).astype(
-                jnp.float32)
+            ok = (io == ids_t - base) & (blk_t == b_)
+            if mask_t is not None:
+                ok = ok & mask_t
+            oh = ok.astype(jnp.float32)
             return acc + jnp.dot(oh, block,
                                  precision=jax.lax.Precision.HIGHEST)
 
@@ -141,7 +157,42 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None):
             hi_b = jnp.where(gate, hi_b, lo_b)
         return jax.lax.fori_loop(lo_b, hi_b, mbody,
                                  jnp.zeros((tm, 128), jnp.float32))
-    idsl_ref[:] = jnp.transpose(ids_row, (1, 0))
+    if mode == "cloop" and mask is not None:
+        # count-compacted loop for SCATTERED sites: MXU-cumsum compact
+        # the consumer lanes' (id, lane) pairs to a prefix, then loop
+        # only cnt times (vs the fixed-128 'loop' / the block-span
+        # 'mxu'). Two small dots: positions via m @ triu (products are
+        # 0/1 — DEFAULT exact), compacted (id; lane) rows via a HIGHEST
+        # dot against the position one-hot (ids exceed bf16's exact
+        # integer range; HIGHEST reconstructs f32 exactly since the
+        # one-hot side is exactly 1.0).
+        m = mask.astype(jnp.float32)                   # [1, tm]
+        io_r = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+        io_c = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+        triu_incl = (io_r <= io_c).astype(jnp.float32)
+        c_inc = jnp.dot(m, triu_incl)                  # [1, tm] inclusive
+        pos_t = jnp.transpose(c_inc - m, (1, 0)).astype(jnp.int32)
+        oh = ((io_c == pos_t)
+              & (jnp.transpose(m, (1, 0)) > 0)).astype(jnp.float32)
+        lane_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, tm), 1).astype(jnp.float32)
+        packed = jnp.concatenate(
+            [ids_row.astype(jnp.float32), lane_iota], axis=0)  # [2, tm]
+        comp = jnp.dot(packed, oh,
+                       precision=jax.lax.Precision.HIGHEST)    # [2, tm]
+        idsl_ref[:, 0:2] = jnp.transpose(comp, (1, 0)).astype(jnp.int32)
+        cnt = jnp.sum(m).astype(jnp.int32)
+        if gate is not None:
+            cnt = jnp.where(gate, cnt, 0)
+
+        def onec(l, carry):
+            row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
+            grow_ref[pl.ds(idsl_ref[l, 1], 1), :] = row.astype(jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, cnt, onec, 0)
+        return grow_ref[:]
+    idsl_ref[:, 0:1] = jnp.transpose(ids_row, (1, 0))
 
     def one(l, carry):
         row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
@@ -173,7 +224,7 @@ def _sel4(rows, sub_row, width: int):
 
 
 def _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx_row, mode,
-                gate=None):
+                gate=None, mask=None):
     """Tri + mat rows for triangle ids [1, TM] -> (trow [16, TM],
     mrow [16, TM]) — the in-kernel twin of wavefront._tri_mat_rows_t.
     Triangle rows gather from tri_table packed 8 per 128-lane row; the
@@ -181,7 +232,7 @@ def _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx_row, mode,
     table (objects are few — carrying 16 mat columns per TRIANGLE like
     the XLA path's combined tri_mat_table would cost 2x the VMEM)."""
     rows = _take_rows(tri8_ref, idx_row // 8, idsl_ref, grow_ref, mode,
-                      gate=gate)
+                      gate=gate, mask=mask)
     tri16 = _sel4(rows, idx_row % 8, 16)              # [TM, 16]
     trow = jnp.transpose(tri16, (1, 0))               # [16, TM]
     obj = trow[12:13].astype(jnp.int32)               # TRI_OBJ
@@ -228,7 +279,7 @@ def _asin(y):
 
 
 def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
-                gate=None):
+                gate=None, mask=None):
     """In-kernel twin of envmap.sample_env_packed_p ([1, TM] planes):
     one row gather from the packed 2x2 bilinear table (8 entries of 16
     per 128-lane row) + the same math, with the equirect angles from
@@ -248,7 +299,7 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
     y0i = jnp.clip(y0.astype(jnp.int32), -1, h - 1)
     rid = (y0i + 1) * (w + 1) + (x0i + 1)             # [1, TM]
     rows = _take_rows(env_ref, rid // 8, idsl_ref, grow_ref, mode,
-                      gate=gate)
+                      gate=gate, mask=mask)
     rowt = jnp.transpose(_sel4(rows, rid % 8, 16), (1, 0))  # [16, TM]
     c00 = vm.v3rows(rowt, 0)
     c01 = vm.v3rows(rowt, 3)
@@ -261,7 +312,7 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
 
 
 def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
-              cdf_window: int, mode, gate=None):
+              cdf_window: int, mode, gate=None, mask=None):
     """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
     bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
     extraction) -> window row (CDF_WINDOW prefix f32 + CDF_WINDOW ids,
@@ -270,7 +321,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
     b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
     bid = obj * nb + b                                # [1, TM]
     rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode,
-                      gate=gate)
+                      gate=gate, mask=mask)
     p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
     io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
     jlo = jnp.transpose(jnp.sum(jnp.where(io == p2_t, rows, 0.0),
@@ -282,7 +333,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
     target = u * ota
     per = 128 // (2 * cdf_window)
     wrows = _take_rows(win_ref, jlo // per, idsl_ref, grow_ref, mode,
-                       gate=gate)
+                       gate=gate, mask=mask)
     wrow = jnp.transpose(_sel4(wrows, jlo % per, 2 * cdf_window),
                          (1, 0))                      # [2W, TM]
     width = jhi - jlo
@@ -528,12 +579,23 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     gm_scat = "loop" if gather in ("block", "mxuloop") else gather
     if gather == "mxuloop":  # hybrid: one-hot MXU for coherent ids,
         gm_coh = "mxu"       # serial lane loop for scattered ones
+    gm_env_m = gm_scat
+    if gather == "auto":
+        # measured split (megaprobe, demo bench): coherent rows ->
+        # 'mxu'; the SSS pick chain (few consumer lanes/iter) ->
+        # 'cloop' (-41 ms); env fetches -> masked 'mxu' (cloop env
+        # measured +118 ms — NEE/miss masks keep ~half the tile, so
+        # the compacted loop degenerates to 'loop' plus overhead while
+        # the consumer mask already tightens the mxu block span)
+        gm_coh = "mxu"
+        gm_scat = "cloop"
+        gm_env_m = "mxu"
     if debug == "nogather":  # ablation: all in-kernel gathers stubbed
-        gm_coh = gm_scat = "zero"
+        gm_coh = gm_scat = gm_env_m = "zero"
     # per-site-class ablations (megaprobe --debug noenv,nocdf,norows):
     # env texel fetches / the SSS pick chain (CDF bucket+window rows +
     # exit-tri rows) / tri+mat row fetches (continuation + primary)
-    gm_env = "zero" if debug == "noenv" else gm_scat
+    gm_env = "zero" if debug == "noenv" else gm_env_m
     gm_cdf = "zero" if debug == "nocdf" else gm_scat
     gm_row = "zero" if debug == "norows" else gm_coh
 
@@ -590,10 +652,11 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             g_sss = jnp.sum(sss_exit0.astype(jnp.float32)) > 0.0
             exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
                                  us[2], obj, ota, nb, cdf_window, gm_cdf,
-                                 gate=g_sss)
+                                 gate=g_sss, mask=sss_exit0)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
             et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                         exit_tri, gm_cdf, gate=g_sss)
+                                         exit_tri, gm_cdf, gate=g_sss,
+                                         mask=sss_exit0)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
             eobj = et_row[12:13].astype(jnp.int32)
@@ -648,7 +711,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 hp = src + rdir_u * bt_m
                 irow, rrow = _rows_fetch(
                     tri8_ref, mat_ref, idsl_ref, grow_ref, idx_m, gm_row,
-                    gate=jnp.sum(step_ok.astype(jnp.float32)) > 0.0)
+                    gate=jnp.sum(step_ok.astype(jnp.float32)) > 0.0,
+                    mask=step_ok)
                 n_i = V3(irow[9:10], irow[10:11], irow[11:12])
                 new_rdir, full_reflex = sampling.refract_dir_p(
                     rdir_u, n_i, miu, jnp)
@@ -725,15 +789,18 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         g_nee = jnp.sum((f.needs_nee & ~h_hit).astype(jnp.float32)) > 0.0
         g_skyc = jnp.sum(((f.is_mirror | f.is_dirref)
                           & ~c_hit).astype(jnp.float32)) > 0.0
+        m_nee = f.needs_nee & ~h_hit
+        m_skyc = (f.is_mirror | f.is_dirref) & ~c_hit
         sky = _env_sample(env_ref, idsl_ref, grow_ref, hdir_u, env_shape,
-                          cfg.hdr_clamp, gm_env, gate=g_nee)
+                          cfg.hdr_clamp, gm_env, gate=g_nee, mask=m_nee)
         sky_c = _env_sample(env_ref, idsl_ref, grow_ref, cdir_u, env_shape,
-                            cfg.hdr_clamp, gm_env, gate=g_skyc)
+                            cfg.hdr_clamp, gm_env, gate=g_skyc,
+                            mask=m_skyc)
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
         g_chit = jnp.sum(c_hit.astype(jnp.float32)) > 0.0
         crow_t, cmrow_t = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
-                                      gm_row, gate=g_chit)
+                                      gm_row, gate=g_chit, mask=c_hit)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
             jnp, e_cnt, has_sss, has_refract, cfg.rr_rate, cfg.sss_rate,
@@ -808,9 +875,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
             g_st = jnp.sum(st_r.astype(jnp.float32)) > 0.0
             psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                               cfg.hdr_clamp, gm_env, gate=g_miss)
+                               cfg.hdr_clamp, gm_env, gate=g_miss,
+                               mask=miss)
             row0, p_mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                       p_idx, gm_row, gate=g_st)
+                                       p_idx, gm_row, gate=g_st, mask=st_r)
             sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
             n_got = n_got + got.astype(jnp.float32)
             started = started | st_r
@@ -911,7 +979,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
             pltpu.VMEM((1, 1), jnp.int32),       # sweep count
             pltpu.VMEM((TM, kp), jnp.float32),   # best-t wide
             pltpu.VMEM((TM, kp), jnp.int32),     # winner begin wide
-            pltpu.VMEM((TM, 1), jnp.int32),      # gather loop ids
+            pltpu.VMEM((TM, 8), jnp.int32),      # gather ids/slots
             pltpu.VMEM((TM, 128), jnp.float32),  # gather rows out
         ],
         interpret=interpret,
@@ -969,6 +1037,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
     gm_scat = "loop" if gather in ("block", "mxuloop") else gather
     if gather == "mxuloop":  # hybrid: one-hot MXU for coherent ids,
         gm_coh = "mxu"       # serial lane loop for scattered ones
+    if gather == "auto":     # preview has no CDF chain; both its site
+        gm_coh = gm_scat = "mxu"  # classes measured best as masked mxu
     film = V3(zrow, zrow, zrow)
     px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
     py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(jnp.float32)
@@ -995,9 +1065,10 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         g_m0 = jnp.sum((pix_ok & ~hit0).astype(jnp.float32)) > 0.0
         g_h0 = jnp.sum(hit0.astype(jnp.float32)) > 0.0
         sky0 = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                           cfg.hdr_clamp, gm_coh, gate=g_m0)
+                           cfg.hdr_clamp, gm_coh, gate=g_m0,
+                           mask=pix_ok & ~hit0)
         _, mrow0 = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx0,
-                               gm_coh, gate=g_h0)
+                               gm_coh, gate=g_h0, mask=hit0)
         le0 = V3(mrow0[0:1], mrow0[1:2], mrow0[2:3])
 
         ones = jnp.ones((1, tm), jnp.float32)
@@ -1011,7 +1082,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
         for b in range(max_bounce):
             g_act = jnp.sum(active.astype(jnp.float32)) > 0.0
             trow, mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, tri,
-                                     gm_coh, gate=g_act)
+                                     gm_coh, gate=g_act, mask=active)
             normal = V3(trow[9:10], trow[10:11], trow[11:12])
             brdf = V3(mrow[3:4], mrow[4:5], mrow[5:6])
             w1 = rng.uniform(jnp, pix_u, smp_u, b + 1, int(S.CONT_COS),
@@ -1031,7 +1102,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
             idx = jnp.where(hit, bi, 0)
             g_hit = jnp.sum((active & hit).astype(jnp.float32)) > 0.0
             _, nmrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, idx,
-                                   gm_coh, gate=g_hit)
+                                   gm_coh, gate=g_hit, mask=active & hit)
             n_emis = V3(nmrow[0:1], nmrow[1:2], nmrow[2:3])
             cos_i = jnp.abs(vm.vdot(wi, normal))
             f_r = brdf * (1.0 / PI)
@@ -1040,7 +1111,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
             miss = active & ~hit
             sky = _env_sample(env_ref, idsl_ref, grow_ref, wi_u, env_shape,
                               cfg.hdr_clamp, gm_scat,
-                              gate=jnp.sum(miss.astype(jnp.float32)) > 0.0)
+                              gate=jnp.sum(miss.astype(jnp.float32)) > 0.0,
+                              mask=miss)
             lo = lo + vwhere(miss, history * sky * weight, 0.0, jnp)
             lo = lo + vwhere(active & hit, history * n_emis * weight, 0.0,
                              jnp)
@@ -1086,7 +1158,7 @@ def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
             pltpu.VMEM((1, 1), jnp.int32),
             pltpu.VMEM((TM, kp), jnp.float32),
             pltpu.VMEM((TM, kp), jnp.int32),
-            pltpu.VMEM((TM, 1), jnp.int32),
+            pltpu.VMEM((TM, 8), jnp.int32),
             pltpu.VMEM((TM, 128), jnp.float32),
         ],
         interpret=interpret,

@@ -44,13 +44,16 @@ class RenderConfig:
     # launch (a full-scale 1080p x 1024spp render as ONE dispatch would
     # hold the tunnel for minutes; batching bounds per-call wall time
     # while keeping the per-call fixed cost amortized over >=64 spp)
-    mega_gather: str = "loop"         # megakernel in-kernel row-gather
-    # mechanism: 'loop' (per-lane dynamic sublane indexing, fixed ~128
-    # serial row loads) | 'mxu' (per-128-row-block one-hot matmul at
-    # Precision.HIGHEST — bit-exact, cost scales with the id spread;
-    # wins on coherent ids) | 'take' (jnp.take; interpret-mode/testing
-    # only — Mosaic's vector gather is shape-preserving take_along_axis
-    # within one vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
+    mega_gather: str = "auto"         # megakernel in-kernel row-gather
+    # mechanism, all bit-exact (demo bench Mrays/s in parens):
+    # 'auto' (12.9: measured best per-site mix — masked one-hot-MXU for
+    # coherent rows + env, count-compacted loop for the SSS pick chain)
+    # | 'mxu' (10.7: per-128-row-block one-hot matmul at
+    # Precision.HIGHEST everywhere; cost scales with the id spread) |
+    # 'loop' (9.0: per-lane dynamic sublane loads, fixed 128 serial
+    # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
+    # vector gather is shape-preserving take_along_axis within one
+    # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m

@@ -22,8 +22,47 @@ from jaderaytracerendering_tpu.scene.scene import assemble
 from jaderaytracerendering_tpu.utils.config import RenderConfig
 
 
+def _iter_jaxprs(jaxpr):
+    yield jaxpr
+    for eqn in jaxpr.eqns:
+        for v in eqn.params.values():
+            for j in _sub_jaxprs(v):
+                yield from _iter_jaxprs(j)
+
+
+def _sub_jaxprs(v):
+    from jax._src import core as jcore
+
+    if isinstance(v, jcore.ClosedJaxpr):
+        yield v.jaxpr
+    elif isinstance(v, jcore.Jaxpr):
+        yield v
+    elif isinstance(v, (tuple, list)):
+        for x in v:
+            yield from _sub_jaxprs(x)
+
+
+def _assert_no_bool_transpose(traced):
+    """Mosaic's BACKEND stage (hardware-only) rejects tpu.transpose on
+    i1 vectors — the AOT lowering pass does NOT catch it (measured as
+    an HTTP-500 on the chip, twice). Pin the class statically: no
+    transpose primitive in any (nested) jaxpr may consume a bool."""
+    import numpy as np
+
+    for j in _iter_jaxprs(traced.jaxpr.jaxpr):
+        for eqn in j.eqns:
+            if eqn.primitive.name == "transpose":
+                dt = eqn.invars[0].aval.dtype
+                assert dt != np.bool_, (
+                    f"bool transpose in kernel jaxpr: {eqn} — transpose "
+                    "a wider dtype instead (i1 transposes fail Mosaic's "
+                    "backend stage on hardware)")
+
+
 def _lower(fn, *args):
-    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+    traced = jax.jit(fn).trace(*args)
+    _assert_no_bool_transpose(traced)
+    traced.lower(lowering_platforms=("tpu",))
 
 
 @pytest.fixture(scope="module")
@@ -52,7 +91,7 @@ def _mega_args(sd):
             tri8, mat16, envp, buk, win, ota)
 
 
-@pytest.mark.parametrize("gather", ["loop", "block", "mxu"])
+@pytest.mark.parametrize("gather", ["loop", "block", "mxu", "auto"])
 def test_mega_lowers_for_tpu(jade, gather):
     from jaderaytracerendering_tpu.ops.pallas import mega as megak
 
