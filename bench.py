@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
     ap.add_argument("--mega-gather", default="loop",
                     choices=["loop", "mxu", "mxuloop", "auto", "block", "take"])
+    ap.add_argument("--mega-tile", type=int, default=256,
+                    help="megakernel lanes per pixel tile (TM)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     ap.add_argument("--all", action="store_true",
@@ -233,6 +235,7 @@ def _measure(args) -> float:
         spp_batch=args.spp_batch, max_depth=args.depth,
         rays_per_launch=args.rays_per_launch, traversal=args.traversal,
         engine=args.engine, mega_gather=getattr(args, "mega_gather", "loop"),
+        mega_tile=getattr(args, "mega_tile", 256),
     )
 
     if args.engine == "mega":

@@ -55,6 +55,19 @@ from .. import intersect
 INF = intersect.INF
 TM = 128
 
+# v5e has 128 MiB of physical VMEM per core; XLA's default *scoped*
+# limit is 16 MiB, which the resident scene tables (~14.3 MB for the
+# 20k-tri bench scene) nearly exhaust — leaving no room to raise the
+# lane tile (cfg.mega_tile) above 128 even though wider [1, N] rows
+# pack more sublanes per vreg (tools/subprobe.py: 24 Gflop/s at
+# [1,128] vs 150 at [1,1024]). Raise the Mosaic limit; keep headroom
+# below physical for XLA's own scoped buffers.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
+def _mega_compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 # --------------------------------------------------------------------------
 # in-kernel gathers from 128-lane-packed tables (scene.mega_pack layout)
@@ -99,8 +112,19 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
             base = jnp.minimum(b_ * 128, nrow - 128)
             block = tab_ref[pl.ds(base, 128), :].astype(jnp.float32)
             pos_rel = jnp.clip(ids_t - base, 0, 127)
-            rows_b = jnp.take_along_axis(
-                block, jnp.broadcast_to(pos_rel, (tm, 128)), axis=0)
+            # Mosaic lowers only the SHAPE-PRESERVING take_along_axis
+            # (indices shape == operand shape, lowering.py:2464-2524),
+            # so gather 128 lanes at a time when tm > 128
+            parts = [
+                jnp.take_along_axis(
+                    block,
+                    jnp.broadcast_to(pos_rel[s * 128:(s + 1) * 128],
+                                     (128, 128)),
+                    axis=0)
+                for s in range(tm // 128)
+            ]
+            rows_b = (jnp.concatenate(parts, axis=0)
+                      if len(parts) > 1 else parts[0])
             return jnp.where(blk_t == b_, rows_b, out)
 
         return jax.lax.fori_loop(idsl_ref[0, 0], idsl_ref[1, 0] + 1, body,
@@ -507,13 +531,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  has_sss: bool, has_refract: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
-                 max_iters: int, gather: str, debug: str = "full"):
+                 max_iters: int, gather: str, debug: str = "full",
+                 tm: int = TM):
     from ...core import camera as camera_mod
     from ...core import rng
     from ...core.rng import DrawSites as S
     from ...integrator import sampling, wavefront
 
-    tm = TM
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
     # ints col 3 = dynamic pixel offset (film shard base, multi-chip)
@@ -953,7 +977,9 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
     4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
     only the pixel window [ints[0,3], ints[0,3]+shard_px) — the film
     shard of one device in the multi-chip mesh."""
-    mp = shard_px if shard_px else -(-npix // TM) * TM
+    tmq = int(getattr(cfg, "mega_tile", TM) or TM)
+    assert tmq % 128 == 0, "mega_tile must be a multiple of 128 lanes"
+    mp = shard_px if shard_px else -(-npix // tmq) * tmq
     kp = sd_coef.shape[2] // 4
     cp = sd_planes.shape[1]
     max_iters = spp * (cfg.max_depth + 2) + 4
@@ -963,26 +989,27 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         kp=kp, cp=cp, n_clusters=int(n_clusters),
         l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
         cdf_window=int(cdf_window), spp=int(spp),
-        max_iters=int(max_iters), gather=gather, debug=_debug)
+        max_iters=int(max_iters), gather=gather, debug=_debug, tm=tmq)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kern,
-        grid=(mp // TM,),
+        grid=(mp // tmq,),
         in_specs=[whole] * 14,
-        out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tmq), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((48, TM), jnp.float32),   # fst state
-            pltpu.VMEM((8, TM), jnp.int32),      # mst state
-            pltpu.VMEM((l_cap, 1), jnp.int32),   # sweep candidate ids
-            pltpu.VMEM((1, 1), jnp.int32),       # sweep count
-            pltpu.VMEM((TM, kp), jnp.float32),   # best-t wide
-            pltpu.VMEM((TM, kp), jnp.int32),     # winner begin wide
-            pltpu.VMEM((TM, 8), jnp.int32),      # gather ids/slots
-            pltpu.VMEM((TM, 128), jnp.float32),  # gather rows out
+            pltpu.VMEM((48, tmq), jnp.float32),   # fst state
+            pltpu.VMEM((8, tmq), jnp.int32),      # mst state
+            pltpu.VMEM((l_cap, 1), jnp.int32),    # sweep candidate ids
+            pltpu.VMEM((1, 1), jnp.int32),        # sweep count
+            pltpu.VMEM((tmq, kp), jnp.float32),   # best-t wide
+            pltpu.VMEM((tmq, kp), jnp.int32),     # winner begin wide
+            pltpu.VMEM((tmq, 8), jnp.int32),      # gather ids/slots
+            pltpu.VMEM((tmq, 128), jnp.float32),  # gather rows out
         ],
         interpret=interpret,
+        compiler_params=_mega_compiler_params(),
     )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
       tri8, mat16, envp, buk, win, ota)
     return out
@@ -997,7 +1024,7 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
                     ids_ref, cnt_ref, btw_ref, bw_ref, idsl_ref, grow_ref, *,
                     cfg, npix: int, kp: int, cp: int, n_clusters: int,
                     l_cap: int, env_shape, spp: int,
-                    max_bounce: int, gather: str):
+                    max_bounce: int, gather: str, tm: int = TM):
     """In-kernel twin of integrator/preview.trace_preview_p (the
     reference's interactive shader, fshader_preview.fsh:332-375):
     uniform-hemisphere bounces, pdf 1/2pi, multiplicative history, no
@@ -1009,7 +1036,6 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
     from ...integrator import sampling
     from ...integrator.sampling import PI
 
-    tm = TM
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
     pix = tile * tm + lane
@@ -1138,28 +1164,30 @@ def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
                         gather="take", interpret=False):
     """One launch = one whole progressive preview frame ([8, Mp] f32,
     rows 0-2 the per-pixel radiance sum over ``spp`` samples)."""
-    mp = -(-npix // TM) * TM
+    tmq = int(getattr(cfg, "mega_tile", TM) or TM)
+    mp = -(-npix // tmq) * tmq
     kp = sd_coef.shape[2] // 4
     cp = sd_planes.shape[1]
     kern = functools.partial(
         _preview_kernel, cfg=cfg, npix=int(npix), kp=kp, cp=cp,
         n_clusters=int(n_clusters), l_cap=int(l_cap), env_shape=env_shape,
-        spp=int(spp), max_bounce=int(max_bounce), gather=gather)
+        spp=int(spp), max_bounce=int(max_bounce), gather=gather, tm=tmq)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kern,
-        grid=(mp // TM,),
+        grid=(mp // tmq,),
         in_specs=[whole] * 9,
-        out_specs=pl.BlockSpec((8, TM), lambda i: (0, i),
+        out_specs=pl.BlockSpec((8, tmq), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((l_cap, 1), jnp.int32),
             pltpu.VMEM((1, 1), jnp.int32),
-            pltpu.VMEM((TM, kp), jnp.float32),
-            pltpu.VMEM((TM, kp), jnp.int32),
-            pltpu.VMEM((TM, 8), jnp.int32),
-            pltpu.VMEM((TM, 128), jnp.float32),
+            pltpu.VMEM((tmq, kp), jnp.float32),
+            pltpu.VMEM((tmq, kp), jnp.int32),
+            pltpu.VMEM((tmq, 8), jnp.int32),
+            pltpu.VMEM((tmq, 128), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_mega_compiler_params(),
     )(ints, cam, sd_planes, sd_begin, sd_triu, sd_coef, tri8, mat16, envp)

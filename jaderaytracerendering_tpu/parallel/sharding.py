@@ -244,7 +244,8 @@ def render_film_mega_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
     assert cfg.spp % mesh.shape["spp"] == 0, "spp must divide spp axis"
     npix = cfg.width * cfg.height
     n_tile = mesh.shape["tile"]
-    shard_px = -(-npix // (n_tile * megak.TM)) * megak.TM
+    tmq = int(getattr(cfg, "mega_tile", megak.TM) or megak.TM)
+    shard_px = -(-npix // (n_tile * tmq)) * tmq
     if film is None:
         film = Film.create(cfg.height, cfg.width)
     tabs = mega_mod._tables(sd, jnp)

@@ -54,6 +54,15 @@ class RenderConfig:
     # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
     # vector gather is shape-preserving take_along_axis within one
     # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
+    mega_tile: int = 256              # megakernel lanes per pixel tile
+    # (TM). Mosaic packs a [1, N] f32 row into sublanes at 128-lane
+    # granularity, so per-lane VPU throughput rises with TM: the
+    # tools/subprobe.py FMA probe measured [1,128] 24, [1,512] 93,
+    # [1,1024] 150 Gflop/s. Needs the raised Mosaic vmem_limit_bytes
+    # (ops/pallas/mega.py) — scratch + transients scale with TM on top
+    # of the resident scene tables and blow XLA's default 16 MiB scoped
+    # budget. Demo bench: 128 -> 13.1, 256 -> 14.6, 512 -> 14.5,
+    # 1024 -> 11.5 Mrays/s (divergence within a tile rises with TM).
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m
