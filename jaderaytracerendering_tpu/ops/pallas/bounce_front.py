@@ -46,6 +46,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core import vecmath as vm
 from ...core.vecmath import V3, vwhere
 
@@ -245,6 +247,7 @@ def front_bounce(fst, ust, ltab, exaux, erows, refr, e_cnt, has_sss,
             jax.ShapeDtypeStruct((lr, mp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(ins[0], ins[1], ltab, *ins[2:])
     if pad:
         feats, excl, p1, maskf, ld = (feats[:, :m], excl[:, :m], p1[:, :m],

@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core.vecmath import V3, v3rows, vwhere
 
 
@@ -193,6 +195,7 @@ def resolve_bounce(fst, p1, ld, aux, crows, lights, e_cnt, has_sss,
             jax.ShapeDtypeStruct((8, mp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(fst, p1, ld, aux, crows, lights)
     if pad:
         fstc, meta, scat = fstc[:, :m], meta[:, :m], scat[:, :m]
@@ -241,6 +244,7 @@ def resolve_bounce2(fst, p1, ld, aux, crows, bt, bi, env, lights, e_cnt,
             jax.ShapeDtypeStruct((8, mp), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(fst, p1, ld, aux, crows, bt, bi, env, lights)
     if pad:
         fstc, meta, scat = fstc[:, :m], meta[:, :m], scat[:, :m]

@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core import vecmath as vm
 from .. import intersect
 
@@ -246,6 +248,7 @@ def nearest_hit_sweep_jnp(origins, dirs, exclude, sd, tile_m=128,
             jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(ids, counts, sd.cluster_begin, origins, dirs_u, exclude[:, None],
       sd.cluster_tris)
     return unpermute_results(bt, bi, perm, m)

@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core import vecmath as vm
 from .. import gemm_intersect, intersect
 
@@ -333,6 +335,7 @@ def nearest_hit_sweep_fused_feats_jnp(feats, exclude, sd, tile_m=128,
             pltpu.VMEM((tile_m, kp), jnp.int32),    # winner begin wide
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(feats, exclude, sd.cluster_planes,
       sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef_b16)
     bt = bt[0, :m]
@@ -414,6 +417,7 @@ def nearest_hit_sweep_fused_stacked_jnp(feats_stk, exclude, sd, n_seg,
             pltpu.VMEM((tile_m, kp), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(feats_stk, exclude, sd.cluster_planes,
       sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef_b16)
     if pad:

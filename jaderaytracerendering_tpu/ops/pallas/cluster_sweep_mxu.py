@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from .. import gemm_intersect, intersect
 from . import cluster_sweep
 
@@ -154,6 +156,7 @@ def nearest_hit_sweep_mxu_jnp(origins, dirs, exclude, sd, tile_m=256,
             jax.ShapeDtypeStruct((mp, 1), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(ids, counts, sd.cluster_begin, feats, exclude[:, None],
       sd.cluster_coef)
     return cluster_sweep.unpermute_results(bt, bi, perm, m)

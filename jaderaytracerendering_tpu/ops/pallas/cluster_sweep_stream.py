@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core import vecmath as vm
 from .. import gemm_intersect, intersect
 
@@ -229,7 +231,7 @@ def _stream_kernel(f_ref, ex_ref, planes_ref, chunkp_ref, begin_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "stream",
                                              "l_cap"))
-def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
+def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=256,
                                  interpret=False, stream=None,
                                  l_cap=L_CAP):
     """Streaming cluster-sweep nearest hit. Same contract as the other
@@ -246,7 +248,7 @@ def nearest_hit_sweep_stream_jnp(origins, dirs, exclude, sd, tile_m=128,
 
 @functools.partial(jax.jit, static_argnames=("tile_m", "interpret", "stream",
                                              "l_cap", "anyhit"))
-def nearest_hit_sweep_stream_feats_jnp(feats, exclude, sd, tile_m=128,
+def nearest_hit_sweep_stream_feats_jnp(feats, exclude, sd, tile_m=256,
                                        interpret=False, stream=None,
                                        l_cap=L_CAP, anyhit=None):
     """Feats-level entry (see cluster_sweep_fused counterpart): the
@@ -312,6 +314,7 @@ def nearest_hit_sweep_stream_feats_jnp(feats, exclude, sd, tile_m=128,
         ],
         scratch_shapes=scratch,
         interpret=interpret,
+        compiler_params=_cparams(),
     )(feats, exclude, sd.cluster_planes,
       sd.cluster_chunk_planes, sd.cluster_begin_col, triu128,
       sd.cluster_coef)

@@ -55,18 +55,10 @@ from .. import intersect
 INF = intersect.INF
 TM = 128
 
-# v5e has 128 MiB of physical VMEM per core; XLA's default *scoped*
-# limit is 16 MiB, which the resident scene tables (~14.3 MB for the
-# 20k-tri bench scene) nearly exhaust — leaving no room to raise the
-# lane tile (cfg.mega_tile) above 128 even though wider [1, N] rows
-# pack more sublanes per vreg (tools/subprobe.py: 24 Gflop/s at
-# [1,128] vs 150 at [1,1024]). Raise the Mosaic limit; keep headroom
-# below physical for XLA's own scoped buffers.
-VMEM_LIMIT_BYTES = 100 * 1024 * 1024
-
-
-def _mega_compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+# Raised Mosaic VMEM limit (see common.py): the resident scene tables
+# (~14.3 MB for the 20k-tri bench scene) nearly exhaust XLA's default
+# 16 MiB scope, leaving no room for cfg.mega_tile > 128 scratch.
+from .common import compiler_params as _mega_compiler_params
 
 
 # --------------------------------------------------------------------------

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 
 def _postfx_kernel(accum_ref, count_ref, out_ref, mode: int, g: float,
                    limit: float):
@@ -48,5 +50,6 @@ def postfx(accum, count, mode: str = "aces", g: float = 2.2,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
+        compiler_params=_cparams(),
     )(accum, jnp.asarray(count, jnp.float32).reshape(1))
     return out.astype(jnp.uint8)

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .common import compiler_params as _cparams
+
 from ...core import vecmath as vm
 from ...core.vecmath import V3, vwhere
 
@@ -176,6 +178,7 @@ def spawn_primary(su, ints, cam, npix, width, height, seed, jitter,
         ],
         scratch_shapes=[pltpu.VMEM((1, 1), jnp.int32)],
         interpret=interpret,
+        compiler_params=_cparams(),
     )(ints, cam, su, triu)
     if pad:
         feats, meta, daux = feats[:, :m], meta[:, :m], daux[:, :m]
