@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("--rays-per-launch", type=int, default=1 << 14)
     ap.add_argument("--traversal", default="sweep")
     ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
-    ap.add_argument("--mega-gather", default="loop",
+    ap.add_argument("--mega-gather", default="auto",
                     choices=["loop", "mxu", "mxuloop", "auto", "block", "take"])
     ap.add_argument("--mega-tile", type=int, default=256,
                     help="megakernel lanes per pixel tile (TM)")
@@ -234,7 +234,7 @@ def _measure(args) -> float:
         width=args.width, height=args.height, spp=args.spp,
         spp_batch=args.spp_batch, max_depth=args.depth,
         rays_per_launch=args.rays_per_launch, traversal=args.traversal,
-        engine=args.engine, mega_gather=getattr(args, "mega_gather", "loop"),
+        engine=args.engine, mega_gather=getattr(args, "mega_gather", "auto"),
         mega_tile=getattr(args, "mega_tile", 256),
     )
 
