@@ -137,3 +137,19 @@ def test_mega_no_lights_env_only():
     b = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
     scale = max(np.abs(a).max(), 1.0)
     np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tile", [128, 512])
+def test_mega_tile_width_bit_exact(tile):
+    """cfg.mega_tile only changes the lane tiling (the sublane-packing
+    perf lever, tools/subprobe.py / ops/pallas/common.py); the render
+    must be BIT-identical across widths — every lane's RNG stream is
+    keyed by pixel/sample, never by tile geometry."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2)
+    a = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_tile=tile)).mean())
+    b = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_tile=256)).mean())
+    np.testing.assert_array_equal(a, b)
