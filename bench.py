@@ -243,6 +243,8 @@ def _measure(args) -> float:
         from jaderaytracerendering_tpu.ops.pallas import mega as megak
 
         assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
+        mopts = mega_mod.kernel_opts(sd, cfg)
+        mtriu = mopts.pop("triu")
         tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega_mod._tables(
             sd, jnp)
         cam24 = jnp.concatenate([
@@ -258,15 +260,16 @@ def _measure(args) -> float:
         def bench_call(ints_):
             out = megak.render_mega(
                 sd.n_clusters, ints_, cam24, ltab, lights2,
-                sd.cluster_planes, sd.cluster_begin_col, sd.cluster_triu,
+                sd.cluster_planes, sd.cluster_begin_col, mtriu,
                 sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
+                sd.cluster_chunk_planes,
                 cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),
                            int(sd.env_map.shape[1])),
                 nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
                 has_refract=sd.has_refract, gather=cfg.mega_gather,
-                interpret=jax.default_backend() == "cpu")
+                interpret=jax.default_backend() == "cpu", **mopts)
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),
                               jnp.sum(out[3]), jnp.sum(out[0:3])])
 

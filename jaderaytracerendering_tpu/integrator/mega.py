@@ -22,23 +22,65 @@ import numpy as np
 from ..core.film import Film
 from ..utils.config import RenderConfig
 
-# VMEM budget for the resident tables (bytes); leaves room for the
-# kernel's scratch + in/out blocks inside the ~16 MB/core VMEM
-MEGA_VMEM_BUDGET = 15 * 2 ** 20
+# VMEM budget for the resident tables (bytes). ops/pallas/common.py
+# raises the Mosaic scoped-VMEM limit to 100 MiB (v5e has 128 MiB
+# physical), so scenes up to ~100k tris (coef 37.5 MB + tri/SSS tables
+# ~20 MB) stay fully resident; the margin covers per-tile scratch
+# (btw/bw [mega_tile, Kp], slab hits [mega_tile, Cp], gather rows).
+MEGA_VMEM_BUDGET = 88 * 2 ** 20
 
 _pack_cache: dict = {}
 
 
-def eligible(sd, cfg: RenderConfig) -> bool:
-    if sd.cluster_triu.size == 0 or sd.n_clusters == 0:
-        return False
+# VMEM budget for the STREAM mode's resident remainder (tri rows +
+# env + planes; coefficients and the SSS pick tables stay in HBM and
+# DMA per visit/consumer-lane) — sized so scratch and the double
+# buffer still fit comfortably
+MEGA_STREAM_VMEM_BUDGET = 40 * 2 ** 20
+
+
+def mode(sd, cfg: RenderConfig):
+    """'resident' (whole scene in VMEM) | 'stream' (coefficients + SSS
+    pick tables in HBM, chunked compaction) | None (pool fallback)."""
+    if sd.n_clusters == 0:
+        return None
     if sd.has_sss and not sd.sss_nb:
-        return False
+        return None
     total = (sd.cluster_coef.nbytes + sd.cluster_triu.nbytes
              + sd.tri_table.nbytes + sd.env_pack.nbytes
              + (sd.sss_bucket.nbytes + sd.sss_window.nbytes
                 if sd.has_sss else 0))
-    return total <= MEGA_VMEM_BUDGET
+    if (sd.cluster_triu.size and total <= MEGA_VMEM_BUDGET
+            and not getattr(cfg, "mega_force_stream", False)):
+        return "resident"
+    resident_part = sd.tri_table.nbytes + sd.env_pack.nbytes
+    if resident_part <= MEGA_STREAM_VMEM_BUDGET:
+        return "stream"
+    return None
+
+
+def eligible(sd, cfg: RenderConfig) -> bool:
+    return mode(sd, cfg) is not None
+
+
+def kernel_opts(sd, cfg: RenderConfig) -> dict:
+    """The render_mega kwargs + triu operand for this scene's mode:
+    {'stream', 'chunked', 'l_cap'} and 'triu' (the [Cp, Cp] table in
+    resident mode; the fixed [128, 128] chunk triu when streaming)."""
+    import jax.numpy as jnp
+
+    m = mode(sd, cfg)
+    assert m is not None, "scene exceeds the mega budgets"
+    c_pad = int(sd.cluster_planes.shape[1])
+    # candidate cap scales with cluster count: demo-scale tiles union
+    # <=64 clusters; 100k+/streamed scenes see bounce-tile unions past
+    # that, and overflow falls back to a dense all-cluster sweep
+    l_cap = 64 if c_pad <= 512 else 256
+    if m == "resident":
+        return {"stream": False, "chunked": False, "l_cap": l_cap,
+                "triu": sd.cluster_triu}
+    return {"stream": True, "chunked": True, "l_cap": l_cap,
+            "triu": jnp.triu(jnp.ones((128, 128), jnp.float32))}
 
 
 def _pack128(a: np.ndarray) -> np.ndarray:
@@ -69,10 +111,13 @@ def _tables(sd, xp):
     mat16 = jnp.asarray(np.asarray(sd.mat_table, np.float32))
     envp = jnp.asarray(_pack128(np.asarray(sd.env_pack)))
     if sd.has_sss:
-        buk = jnp.asarray(_pack128(np.asarray(sd.sss_bucket)))
+        # bucket ids are < 2^24 (assemble asserts) so f32 is exact;
+        # f32 packing lets the stream mode's row DMA land directly in
+        # the f32 gather scratch (DMA copies raw bytes — dtypes match)
+        buk = jnp.asarray(_pack128(np.asarray(sd.sss_bucket, np.float32)))
         win = jnp.asarray(_pack128(np.asarray(sd.sss_window)))
     else:
-        buk = jnp.zeros((1, 128), jnp.int32)
+        buk = jnp.zeros((1, 128), jnp.float32)
         win = jnp.zeros((1, 128), jnp.float32)
     ota = jnp.asarray(np.asarray(sd.obj_total_area)[:, None], jnp.float32)
 
@@ -116,6 +161,8 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         jnp.asarray(cam.eye, jnp.float32),
         jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
     kcfg = cfg.replace(spp=1)  # kernel statics: spp passed separately
+    opts = kernel_opts(sd, cfg)
+    triu = opts.pop("triu")
     accum = film.accum
     done = 0
     while done < cfg.spp:
@@ -124,13 +171,13 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
             jnp.asarray(film.count, jnp.int32) + done).reshape(1, 8)
         out = megak.render_mega(
             sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
-            sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
-            tri8, mat16, envp, buk, win, ota,
+            sd.cluster_begin_col, triu, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes,
             cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
             nb=int(sd.sss_nb), cdf_window=16, spp=step,
             has_refract=sd.has_refract, gather=cfg.mega_gather,
-            interpret=interpret)
+            interpret=interpret, **opts)
         accum = accum + jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
             cfg.height, cfg.width, 3)
         done += step

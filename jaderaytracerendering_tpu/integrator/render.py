@@ -240,7 +240,8 @@ def render_film_preview(sd, cam, cfg: RenderConfig,
     if cfg.engine == "mega":
         from . import mega as mega_mod
 
-        if mega_mod.eligible(sd, cfg):
+        # the preview kernel has no streaming path — resident scenes only
+        if mega_mod.mode(sd, cfg) == "resident":
             film = mega_mod.render_film_preview_mega(sd, cam, cfg,
                                                      film=film)
             if not display:

@@ -66,7 +66,7 @@ from .common import compiler_params as _mega_compiler_params
 # --------------------------------------------------------------------------
 
 def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
-               mask=None):
+               mask=None, dma_sem=None):
     """Gather rows: tab [R, 128], ids [1, TM] i32 -> [TM, 128] f32
     (i32 tables are value-exact in f32 up to 2^24 — all of ours are).
 
@@ -173,7 +173,7 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
             hi_b = jnp.where(gate, hi_b, lo_b)
         return jax.lax.fori_loop(lo_b, hi_b, mbody,
                                  jnp.zeros((tm, 128), jnp.float32))
-    if mode == "cloop" and mask is not None:
+    if mode in ("cloop", "dma") and mask is not None:
         # count-compacted loop for SCATTERED sites: MXU-cumsum compact
         # the consumer lanes' (id, lane) pairs to a prefix, then loop
         # only cnt times (vs the fixed-128 'loop' / the block-span
@@ -201,10 +201,27 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
         if gate is not None:
             cnt = jnp.where(gate, cnt, 0)
 
-        def onec(l, carry):
-            row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
-            grow_ref[pl.ds(idsl_ref[l, 1], 1), :] = row.astype(jnp.float32)
-            return carry
+        if mode == "dma":
+            # HBM-resident table (pl.ANY): one async row DMA per
+            # consumer lane. Serial start+wait is fine here — the only
+            # 'dma' sites are the SSS pick tables, whose consumer count
+            # per tile is k/SSS_RATE-rare. Tables must be f32-packed
+            # ([R, 128], values exact in f32 — ids < 2^24): DMA copies
+            # raw bytes, so dtypes must match grow_ref.
+            def onec(l, carry):
+                cp_ = pltpu.make_async_copy(
+                    tab_ref.at[pl.ds(idsl_ref[l, 0], 1)],
+                    grow_ref.at[pl.ds(idsl_ref[l, 1], 1)],
+                    dma_sem)
+                cp_.start()
+                cp_.wait()
+                return carry
+        else:
+            def onec(l, carry):
+                row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
+                grow_ref[pl.ds(idsl_ref[l, 1], 1), :] = row.astype(
+                    jnp.float32)
+                return carry
 
         jax.lax.fori_loop(0, cnt, onec, 0)
         return grow_ref[:]
@@ -328,7 +345,7 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
 
 
 def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
-              cdf_window: int, mode, gate=None, mask=None):
+              cdf_window: int, mode, gate=None, mask=None, dma_sem=None):
     """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
     bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
     extraction) -> window row (CDF_WINDOW prefix f32 + CDF_WINDOW ids,
@@ -337,7 +354,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
     b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
     bid = obj * nb + b                                # [1, TM]
     rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode,
-                      gate=gate, mask=mask)
+                      gate=gate, mask=mask, dma_sem=dma_sem)
     p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
     io = jax.lax.broadcasted_iota(jnp.int32, (tm, 128), 1)
     jlo = jnp.transpose(jnp.sum(jnp.where(io == p2_t, rows, 0.0),
@@ -349,7 +366,7 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
     target = u * ota
     per = 128 // (2 * cdf_window)
     wrows = _take_rows(win_ref, jlo // per, idsl_ref, grow_ref, mode,
-                       gate=gate, mask=mask)
+                       gate=gate, mask=mask, dma_sem=dma_sem)
     wrow = jnp.transpose(_sel4(wrows, jlo % per, 2 * cdf_window),
                          (1, 0))                      # [2W, TM]
     width = jhi - jlo
@@ -370,52 +387,117 @@ def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
 
 def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
            ids_ref, cnt_ref, btw_ref, bw_ref, *, kp, cp, n_clusters,
-           l_cap, anyhit: bool, gate):
+           l_cap, anyhit: bool, gate, chunkp_ref=None, cstat_ref=None,
+           buf_ref=None, dsem=None, chunked: bool = False,
+           stream: bool = False):
     """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
     [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
 
     Identical slab/compaction/visit semantics to cluster_sweep_fused
     (same dist>0 slab, ascending-id candidate order, bf16x3 MT with
-    sign-exact compares, deferred reduction); coefficients here are the
-    f32 [C, 16, 4Kp] table split in-kernel per visit (the VMEM-mode
-    form of cluster_sweep_stream.test_cluster). ``gate`` [1, 1]-able
-    bool: False skips all work (outputs INF)."""
+    sign-exact compares, deferred reduction). Two large-scene modes
+    (the in-kernel twins of cluster_sweep_stream):
+
+      - ``chunked``: candidate compaction runs per 128-cluster chunk
+        behind a conservative chunk-AABB prefilter (``chunkp_ref``
+        [8, NCp], ``cstat_ref`` [NCp, 1] scratch), with ``triu_ref``
+        holding the fixed [128, 128] triu instead of the [Cp, Cp] one
+        — removes the quadratic compaction wall past c_pad 2048;
+      - ``stream``: ``coefs_ref`` lives in HBM (pl.ANY) and per-visit
+        [16, 4Kp] blocks DMA through the ``buf_ref`` [2, 16, 4Kp]
+        double buffer (``dsem`` DMA((2,))). Pixel-coherent mega tiles
+        union ~10-80 clusters (prepare_tiles census) vs the pool's
+        respawn-shuffled ~400, which is what makes streaming viable
+        where the pool's stream sweep is DMA-bandwidth-bound.
+
+    ``gate`` [1, 1]-able bool: False skips all work (outputs INF)."""
     tm = feats_t.shape[1]
     feats = jnp.transpose(feats_t, (1, 0))            # [TM, 16]
     ex = jnp.transpose(ex_row, (1, 0))                # [TM, 1]
 
-    t0v = t1v = None
-    for ax in range(3):
-        d_c = feats[:, ax:ax + 1]
-        o_c = feats[:, 6 + ax:7 + ax]
-        inv = 1.0 / d_c
-        fa = (planes_ref[3 + ax:4 + ax, :] - o_c) * inv
-        na = (planes_ref[ax:ax + 1, :] - o_c) * inv
-        hi = jnp.maximum(fa, na)
-        lo = jnp.minimum(fa, na)
-        t1v = hi if t1v is None else jnp.minimum(t1v, hi)
-        t0v = lo if t0v is None else jnp.maximum(t0v, lo)
-    dist_pos = jnp.where(t0v > 0.0, t0v, t1v) > 0.0
     ray_ok = (jnp.abs(feats[:, 0:1]) + jnp.abs(feats[:, 1:2])
               + jnp.abs(feats[:, 2:3])) > 0.0
-    hits = (t1v >= t0v) & dist_pos & ray_ok           # [TM, Cp]
-    cid_i = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
-    act = jnp.max(hits.astype(jnp.float32), axis=0, keepdims=True)
-    act = act * (cid_i < n_clusters).astype(jnp.float32)
 
-    cnt = jnp.sum(act, axis=1, keepdims=True)
-    cnt_ref[0:1, 0:1] = jnp.where(gate, cnt.astype(jnp.int32), 0)
-    n_act = cnt_ref[0, 0]
+    def slab(planes, conservative_nan=False):
+        """Rays vs AABB planes [>=6, W] -> hits [TM, W] (reference
+        dist>0 semantics; conservative_nan forces degenerate 0*inf
+        lanes ACTIVE so the chunk prefilter can only add visits)."""
+        t0v = t1v = None
+        for ax in range(3):
+            d_c = feats[:, ax:ax + 1]
+            o_c = feats[:, 6 + ax:7 + ax]
+            inv = 1.0 / d_c
+            fa = (planes[3 + ax:4 + ax, :] - o_c) * inv
+            na = (planes[ax:ax + 1, :] - o_c) * inv
+            hi = jnp.maximum(fa, na)
+            lo = jnp.minimum(fa, na)
+            if conservative_nan:
+                hi = jnp.where(jnp.isnan(hi), jnp.float32(1e30), hi)
+                lo = jnp.where(jnp.isnan(lo), jnp.float32(-1e30), lo)
+            t1v = hi if t1v is None else jnp.minimum(t1v, hi)
+            t0v = lo if t0v is None else jnp.maximum(t0v, lo)
+        dist_pos = jnp.where(t0v > 0.0, t0v, t1v) > 0.0
+        return (t1v >= t0v) & dist_pos & ray_ok
 
-    @pl.when((n_act > 0) & (n_act <= l_cap))
-    def _():
-        pos = jnp.dot(act, triu_ref[:], preferred_element_type=jnp.float32)
-        l_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (l_cap, cp), 0).astype(jnp.float32)
-        sel = (pos == l_iota + 1.0) & (act > 0.0)
-        ids_ref[:] = jnp.sum(
-            jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
-            axis=1, keepdims=True).astype(jnp.int32)
+    if not chunked:
+        hits = slab(planes_ref[:, :cp])               # [TM, Cp]
+        cid_i = jax.lax.broadcasted_iota(jnp.int32, (1, cp), 1)
+        act = jnp.max(hits.astype(jnp.float32), axis=0, keepdims=True)
+        act = act * (cid_i < n_clusters).astype(jnp.float32)
+
+        cnt = jnp.sum(act, axis=1, keepdims=True)
+        cnt_ref[0:1, 0:1] = jnp.where(gate, cnt.astype(jnp.int32), 0)
+        n_act = cnt_ref[0, 0]
+
+        @pl.when((n_act > 0) & (n_act <= l_cap))
+        def _():
+            pos = jnp.dot(act, triu_ref[:],
+                          preferred_element_type=jnp.float32)
+            l_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (l_cap, cp), 0).astype(jnp.float32)
+            sel = (pos == l_iota + 1.0) & (act > 0.0)
+            ids_ref[:] = jnp.sum(
+                jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
+                axis=1, keepdims=True).astype(jnp.int32)
+    else:
+        # level 1: conservative chunk prefilter; level 2: per-active-
+        # chunk slab + fixed [128, 128]-triu compaction with a running
+        # offset (cluster_sweep_stream._stream_kernel form; slots past
+        # l_cap fall outside l_iota and simply don't select — overflow
+        # is handled by the dense visit fallback below)
+        n_chunks = cp // 128
+        chits = slab(chunkp_ref[:], conservative_nan=True)  # [TM, NCp]
+        cact = jnp.max(chits.astype(jnp.int32), axis=0, keepdims=True)
+        cstat_ref[:] = jnp.transpose(cact, (1, 0))
+        ids_ref[:] = jnp.zeros((l_cap, 1), jnp.int32)
+        cnt_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
+        l_iota_c = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 128), 0)
+
+        @pl.when(gate)
+        def _():
+            for j in range(n_chunks):  # static: <=~40 chunks unrolled
+
+                @pl.when(cstat_ref[j, 0] > 0)
+                def _(j=j):
+                    hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
+                    cid_l = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1) + j * 128)
+                    act = (jnp.max(hits.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+                           * (cid_l < n_clusters).astype(jnp.float32))
+                    pos = jnp.dot(act, triu_ref[:],
+                                  preferred_element_type=jnp.float32)
+                    off = cnt_ref[0, 0]
+                    slot = pos.astype(jnp.int32) + off - 1   # [1, 128]
+                    sel = (l_iota_c == slot) & (act > 0.0)
+                    ids_ref[:] = ids_ref[:] + jnp.sum(
+                        jnp.where(sel, (cid_l + 1).astype(jnp.float32),
+                                  0.0),
+                        axis=1, keepdims=True).astype(jnp.int32)
+                    cnt_ref[0:1, 0:1] = cnt_ref[0:1, 0:1] + jnp.sum(
+                        act, axis=1, keepdims=True).astype(jnp.int32)
+
+        n_act = cnt_ref[0, 0]
 
     @pl.when(n_act > 0)
     def _():
@@ -430,8 +512,7 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
         fcat = jnp.concatenate([fh, fh, fl], axis=1)  # [TM, 48]
         k_io = jax.lax.broadcasted_iota(jnp.int32, (1, kp), 1)
 
-        def test_cluster(cid):
-            coef = coefs_ref[pl.ds(cid, 1)][0]        # [16, 4Kp] f32
+        def test_cluster_val(coef, begin):
             ch = coef.astype(jnp.bfloat16)
             cl_ = (coef - ch.astype(jnp.float32)).astype(jnp.bfloat16)
             ccat = jnp.concatenate([ch, cl_, ch], axis=0)
@@ -440,7 +521,6 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
             su = s[:, 1 * kp:2 * kp]
             sv = s[:, 2 * kp:3 * kp]
             st = s[:, 3 * kp:4 * kp]
-            begin = begin_ref[cid, 0]
             ok = ((su * a >= 0.0) & (sv * a >= 0.0)
                   & ((su + sv) * a <= a * a) & (st * a > 0.0)
                   & (k_io + begin != ex))
@@ -452,26 +532,54 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 btw_ref[:] = jnp.where(better, t, btw_ref[:])
                 bw_ref[:] = jnp.where(better, begin, bw_ref[:])
 
+        if stream:
+            def start_fetch(slot, cid):
+                pltpu.make_async_copy(coefs_ref.at[cid], buf_ref.at[slot],
+                                      dsem.at[slot]).start()
+
+            def wait_fetch(slot, cid):
+                pltpu.make_async_copy(coefs_ref.at[cid], buf_ref.at[slot],
+                                      dsem.at[slot]).wait()
+
+            def run(n_visits, cid_of):
+                # double-buffered streamed visits (pallas_guide pattern)
+                start_fetch(0, cid_of(0))
+
+                def visit(l, carry):
+                    slot = jax.lax.rem(l, 2)
+                    nxt = jax.lax.rem(l + 1, 2)
+
+                    @pl.when(l + 1 < n_visits)
+                    def _():
+                        start_fetch(nxt, cid_of(l + 1))
+
+                    cid = cid_of(l)
+                    wait_fetch(slot, cid)
+                    test_cluster_val(buf_ref[slot], begin_ref[cid, 0])
+                    return carry
+
+                jax.lax.fori_loop(0, n_visits, visit, 0)
+        else:
+            def run(n_visits, cid_of):
+                def visit(l, carry):
+                    cid = cid_of(l)
+
+                    @pl.when(cid >= 0)
+                    def _():
+                        test_cluster_val(coefs_ref[pl.ds(cid, 1)][0],
+                                         begin_ref[cid, 0])
+
+                    return carry
+
+                jax.lax.fori_loop(0, n_visits, visit, 0)
+
         @pl.when(n_act <= l_cap)
         def _():
-            def visit(l, carry):
-                cid = ids_ref[l, 0] - 1
-
-                @pl.when(cid >= 0)
-                def _():
-                    test_cluster(cid)
-
-                return carry
-
-            jax.lax.fori_loop(0, n_act, visit, 0)
+            run(n_act, lambda l: ids_ref[l, 0] - 1)
 
         @pl.when(n_act > l_cap)
         def _():
-            def dense(c_, carry):
-                test_cluster(c_)
-                return carry
-
-            jax.lax.fori_loop(0, n_act * 0 + n_clusters, dense, 0)
+            run(n_act * 0 + n_clusters, lambda l: l)
 
     empty = n_act == 0
     if anyhit:
@@ -517,14 +625,14 @@ def _feats16(o: V3, d: V3):
 
 def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  begin_ref, triu_ref, coefs_ref, tri8_ref, mat_ref,
-                 env_ref, buk_ref, win_ref, ota_ref, out_ref,
+                 env_ref, buk_ref, win_ref, ota_ref, chunkp_ref, out_ref,
                  fst_ref, mst_ref, ids_ref, cnt_ref, btw_ref, bw_ref,
-                 idsl_ref, grow_ref, *, cfg, npix: int, e_cnt: int,
+                 idsl_ref, grow_ref, *rest, cfg, npix: int, e_cnt: int,
                  has_sss: bool, has_refract: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
                  env_shape, nb: int, cdf_window: int, spp: int,
                  max_iters: int, gather: str, debug: str = "full",
-                 tm: int = TM):
+                 tm: int = TM, chunked: bool = False, stream: bool = False):
     from ...core import camera as camera_mod
     from ...core import rng
     from ...core.rng import DrawSites as S
@@ -577,11 +685,20 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     l_eidx = [lights_ref[i:i + 1, 7:8].astype(jnp.int32)
               for i in range(e_cnt)]
 
+    # optional large-scene scratch (appended in render_mega's order)
+    ri = iter(rest)
+    cstat_ref = next(ri) if chunked else None
+    buf_ref = next(ri) if stream else None
+    dsem = next(ri) if stream else None
+    rsem = next(ri) if stream else None
+
     _base_sweep = functools.partial(
         _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
         triu_ref=triu_ref, coefs_ref=coefs_ref, ids_ref=ids_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
-        n_clusters=n_clusters, l_cap=l_cap)
+        n_clusters=n_clusters, l_cap=l_cap, chunkp_ref=chunkp_ref,
+        cstat_ref=cstat_ref, buf_ref=buf_ref, dsem=dsem,
+        chunked=chunked, stream=stream)
 
     def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
         if debug == "notrace":
@@ -612,7 +729,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # env texel fetches / the SSS pick chain (CDF bucket+window rows +
     # exit-tri rows) / tri+mat row fetches (continuation + primary)
     gm_env = "zero" if debug == "noenv" else gm_env_m
-    gm_cdf = "zero" if debug == "nocdf" else gm_scat
+    # stream mode: buk/win live in HBM (pl.ANY) — their rows must DMA;
+    # the exit-triangle rows still gather from the VMEM tri8 table
+    gm_cdf = "dma" if stream else gm_scat
+    gm_cdfrow = gm_scat
+    if debug == "nocdf":
+        gm_cdf = gm_cdfrow = "zero"
     gm_row = "zero" if debug == "norows" else gm_coh
 
     # ---- init per-tile state ----
@@ -668,10 +790,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             g_sss = jnp.sum(sss_exit0.astype(jnp.float32)) > 0.0
             exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
                                  us[2], obj, ota, nb, cdf_window, gm_cdf,
-                                 gate=g_sss, mask=sss_exit0)
+                                 gate=g_sss, mask=sss_exit0, dma_sem=rsem)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
             et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
-                                         exit_tri, gm_cdf, gate=g_sss,
+                                         exit_tri, gm_cdfrow, gate=g_sss,
                                          mask=sss_exit0)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
             tot_a = jnp.zeros((1, tm), jnp.float32)
@@ -957,18 +1079,24 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "has_refract",
     "env_shape", "nb", "cdf_window", "spp", "shard_px", "l_cap", "gather",
-    "interpret", "_debug"))
+    "interpret", "_debug", "chunked", "stream"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
-                sd_triu, sd_coef, tri8, mat16, envp, buk, win, ota, *, cfg,
-                npix,
+                sd_triu, sd_coef, tri8, mat16, envp, buk, win, ota, chunkp,
+                *, cfg, npix,
                 e_cnt, has_sss, env_shape, nb, cdf_window, spp,
                 has_refract=False, shard_px=None, l_cap=64, gather="take",
-                interpret=False, _debug="full"):
+                interpret=False, _debug="full", chunked=False, stream=False):
     """One launch = the whole render: returns [8, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
     4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
     only the pixel window [ints[0,3], ints[0,3]+shard_px) — the film
-    shard of one device in the multi-chip mesh."""
+    shard of one device in the multi-chip mesh.
+
+    Large-scene statics: ``chunked`` compacts candidates per 128-
+    cluster chunk (``sd_triu`` must then be the fixed [128, 128] triu,
+    ``chunkp`` the chunk AABB planes); ``stream`` keeps ``sd_coef``
+    (and the SSS ``buk``/``win`` tables) in HBM, DMA-streaming visit
+    blocks through a double buffer."""
     tmq = int(getattr(cfg, "mega_tile", TM) or TM)
     assert tmq % 128 == 0, "mega_tile must be a multiple of 128 lanes"
     mp = shard_px if shard_px else -(-npix // tmq) * tmq
@@ -981,29 +1109,45 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         kp=kp, cp=cp, n_clusters=int(n_clusters),
         l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
         cdf_window=int(cdf_window), spp=int(spp),
-        max_iters=int(max_iters), gather=gather, debug=_debug, tm=tmq)
+        max_iters=int(max_iters), gather=gather, debug=_debug, tm=tmq,
+        chunked=chunked, stream=stream)
     whole = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = [whole] * 15
+    if stream:
+        in_specs[7] = anyspec                     # sd_coef
+        in_specs[11] = anyspec                    # buk
+        in_specs[12] = anyspec                    # win
+    scratch = [
+        pltpu.VMEM((48, tmq), jnp.float32),   # fst state
+        pltpu.VMEM((8, tmq), jnp.int32),      # mst state
+        pltpu.VMEM((l_cap, 1), jnp.int32),    # sweep candidate ids
+        pltpu.VMEM((1, 1), jnp.int32),        # sweep count
+        pltpu.VMEM((tmq, kp), jnp.float32),   # best-t wide
+        pltpu.VMEM((tmq, kp), jnp.int32),     # winner begin wide
+        pltpu.VMEM((tmq, 8), jnp.int32),      # gather ids/slots
+        pltpu.VMEM((tmq, 128), jnp.float32),  # gather rows out
+    ]
+    if chunked:
+        scratch.append(pltpu.VMEM((chunkp.shape[1], 1), jnp.int32))
+    if stream:
+        scratch += [
+            pltpu.VMEM((2, 16, 4 * kp), jnp.float32),  # coef dbl buffer
+            pltpu.SemaphoreType.DMA((2,)),             # coef DMA sems
+            pltpu.SemaphoreType.DMA,                   # row-gather sem
+        ]
     out = pl.pallas_call(
         kern,
         grid=(mp // tmq,),
-        in_specs=[whole] * 14,
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, tmq), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((48, tmq), jnp.float32),   # fst state
-            pltpu.VMEM((8, tmq), jnp.int32),      # mst state
-            pltpu.VMEM((l_cap, 1), jnp.int32),    # sweep candidate ids
-            pltpu.VMEM((1, 1), jnp.int32),        # sweep count
-            pltpu.VMEM((tmq, kp), jnp.float32),   # best-t wide
-            pltpu.VMEM((tmq, kp), jnp.int32),     # winner begin wide
-            pltpu.VMEM((tmq, 8), jnp.int32),      # gather ids/slots
-            pltpu.VMEM((tmq, 128), jnp.float32),  # gather rows out
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_mega_compiler_params(),
     )(ints, cam, ltab, lights2, sd_planes, sd_begin, sd_triu, sd_coef,
-      tri8, mat16, envp, buk, win, ota)
+      tri8, mat16, envp, buk, win, ota, chunkp)
     return out
 
 

@@ -192,9 +192,11 @@ def render_film_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "shard_px",
-                                             "interpret"))
-def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
-                         mesh: Mesh, shard_px: int, interpret: bool):
+                                             "interpret", "mopts"))
+def _mega_render_sharded(tabs, cam24, sample_base, sd, mtriu,
+                         cfg: RenderConfig,
+                         mesh: Mesh, shard_px: int, interpret: bool,
+                         mopts=()):
     """Megakernel over the mesh: each 'tile' shard runs the whole-render
     kernel on its contiguous TM-aligned pixel window (the kernel's
     dynamic pixel-offset input), 'spp' shards render disjoint sample-id
@@ -208,7 +210,7 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
     npix = cfg.width * cfg.height
 
     def shard_fn(tri8_, mat16_, envp_, buk_, win_, ota_, ltab_, lights2_,
-                 cam24_, base_, sd_):
+                 cam24_, base_, sd_, mtriu_):
         t = jax.lax.axis_index("tile")
         s_ = jax.lax.axis_index("spp")
         ints = (jnp.zeros((8,), jnp.int32)
@@ -216,23 +218,25 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, cfg: RenderConfig,
                 .at[3].set(t * shard_px)).reshape(1, 8)
         out = megak.render_mega(
             sd_.n_clusters, ints, cam24_, ltab_, lights2_,
-            sd_.cluster_planes, sd_.cluster_begin_col, sd_.cluster_triu,
+            sd_.cluster_planes, sd_.cluster_begin_col, mtriu_,
             sd_.cluster_coef, tri8_, mat16_, envp_, buk_, win_, ota_,
+            sd_.cluster_chunk_planes,
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd_.n_emit,
             has_sss=sd_.has_sss,
             env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),
             nb=int(sd_.sss_nb), cdf_window=16, spp=spp_local,
             has_refract=sd_.has_refract, shard_px=shard_px,
-            gather=cfg.mega_gather, interpret=interpret)
+            gather=cfg.mega_gather, interpret=interpret,
+            **dict(mopts))
         return jax.lax.psum(out, "spp")
 
     return jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(),) * 11,
+        in_specs=(P(),) * 12,
         out_specs=P(None, "tile"),
         check_vma=False,
     )(tri8, mat16, envp, buk, win, ota, ltab, lights2, cam24,
-      jnp.asarray(sample_base, jnp.int32), sd)
+      jnp.asarray(sample_base, jnp.int32), sd, mtriu)
 
 
 def render_film_mega_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
@@ -254,8 +258,11 @@ def render_film_mega_distributed(sd, cam, cfg: RenderConfig, mesh: Mesh,
         jnp.asarray(cam.eye, jnp.float32),
         jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
     interpret = jax.default_backend() == "cpu"
-    out = _mega_render_sharded(tabs, cam24, film.count, sd, cfg, mesh,
-                               shard_px, interpret)
+    mopts = mega_mod.kernel_opts(sd, cfg)
+    mtriu = mopts.pop("triu")
+    out = _mega_render_sharded(tabs, cam24, film.count, sd, mtriu, cfg,
+                               mesh, shard_px, interpret,
+                               mopts=tuple(sorted(mopts.items())))
     rad = jnp.transpose(out[0:3, :npix], (1, 0)).reshape(
         cfg.height, cfg.width, 3)
     return Film(accum=film.accum + rad,

@@ -63,6 +63,9 @@ class RenderConfig:
     # of the resident scene tables and blow XLA's default 16 MiB scoped
     # budget. Demo bench: 128 -> 13.1, 256 -> 14.6, 512 -> 14.5,
     # 1024 -> 11.5 Mrays/s (divergence within a tile rises with TM).
+    mega_force_stream: bool = False   # megakernel: force the HBM-
+    # streaming coefficient path even when the scene fits VMEM
+    # (test/A-B hook; production selection is integrator/mega.mode)
     spawn_rounds: int = 1             # pool: primary-spawn attempts per loop
     # iteration. >1 lets sky-miss samples retire at spawn time and pull
     # the next sample in the SAME iteration, breaking the total/pool_m

@@ -153,3 +153,71 @@ def test_mega_tile_width_bit_exact(tile):
     b = np.asarray(mega.render_film_mega(
         sd, ds.camera, cfg.replace(mega_tile=256)).mean())
     np.testing.assert_array_equal(a, b)
+
+
+def test_mega_stream_bit_exact_vs_resident():
+    """mega_force_stream (HBM coefficients through the DMA double
+    buffer + chunked compaction + DMA'd SSS pick tables) is a pure
+    execution-strategy change: the streamed render must be BIT-identical
+    to the resident one (same ascending-id visit order, same bf16x3
+    math) on the SSS jade scene."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(max_depth=6)
+    assert mega.mode(sd, cfg) == "resident"
+    scfg = cfg.replace(mega_force_stream=True)
+    assert mega.mode(sd, scfg) == "stream"
+    a = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, scfg).mean())
+    np.testing.assert_array_equal(b, a)
+
+
+def test_mega_stream_refract_bit_exact():
+    """The streamed in-kernel refraction march (nested sweeps under
+    stream=True) matches the resident one bit-for-bit."""
+    ds = demo.jade_scene(n_buddha_tris=200, env_shape=(16, 32))
+    ds.objects[0] = dataclasses.replace(
+        ds.objects[0],
+        material=dataclasses.replace(
+            ds.objects[0].material, refract_mode=material.DIR_REFRACT,
+            refract_index=1.5, refract_rate=(0.9, 0.9, 0.9)))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2, max_depth=3, max_refract_bounces=6)
+    a = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    b = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_force_stream=True)).mean())
+    np.testing.assert_array_equal(b, a)
+
+
+def test_mega_stream_lcap_overflow_dense_fallback():
+    """l_cap overflow under stream: the dense all-cluster streamed
+    sweep must produce the same film as the capped candidate path."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2, max_depth=3, mega_force_stream=True)
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    triu128 = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    npix = cfg.width * cfg.height
+
+    def run(l_cap):
+        ints = jnp.zeros((1, 8), jnp.int32)
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, triu128, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes,
+            cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            nb=int(sd.sss_nb), cdf_window=16, spp=2,
+            has_refract=sd.has_refract, gather=cfg.mega_gather,
+            l_cap=l_cap, chunked=True, stream=True, interpret=True)
+        return np.asarray(out[0:3, :npix])
+
+    np.testing.assert_array_equal(run(1), run(64))

@@ -88,7 +88,7 @@ def _mega_args(sd):
     ints = jnp.zeros((1, 8), jnp.int32)
     return (ints, cam24, ltab, lights2, sd.cluster_planes,
             sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
-            tri8, mat16, envp, buk, win, ota)
+            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes)
 
 
 @pytest.mark.parametrize("gather", ["loop", "block", "mxu", "auto"])
@@ -150,3 +150,29 @@ def test_preview_mega_lowers_for_tpu(jade):
 
     _lower(f, ints, cam24, sd.cluster_planes, sd.cluster_begin_col,
            sd.cluster_triu, sd.cluster_coef, tri8, mat16, envp)
+
+
+def test_mega_stream_lowers_for_tpu(jade):
+    """The HBM-streaming megakernel variant (chunked compaction +
+    coef DMA double-buffer + SSS pick-table row DMA) must pass the
+    full pallas->Mosaic lowering."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8,
+                       mega_force_stream=True).replace(spp=1)
+    mopts = mega_mod.kernel_opts(sd, cfg)
+    mtriu = mopts.pop("triu")
+    assert mopts["stream"] and mopts["chunked"]
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            nb=int(sd.sss_nb), cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False, **mopts)
+
+    args = list(_mega_args(sd))
+    args[6] = mtriu
+    _lower(f, *args)

@@ -29,6 +29,12 @@ def main():
                     help="comma list of _debug variants to time")
     ap.add_argument("--spawn-rounds", type=int, default=0,
                     help="0 = cfg default")
+    ap.add_argument("--l-cap", type=int, default=0,
+                    help="0 = the engine's size-scaled default")
+    ap.add_argument("--stream", action="store_true",
+                    help="force the HBM-streaming coefficient path")
+    ap.add_argument("--mega-tile", type=int, default=0,
+                    help="0 = cfg default")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -54,7 +60,16 @@ def main():
                        mega_gather=args.gather)
     if args.spawn_rounds:
         cfg = cfg.replace(spawn_rounds=args.spawn_rounds)
+    if args.mega_tile:
+        cfg = cfg.replace(mega_tile=args.mega_tile)
+    if args.stream:
+        cfg = cfg.replace(mega_force_stream=True)
     assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
+    mopts = mega_mod.kernel_opts(sd, cfg)
+    mtriu = mopts.pop("triu")
+    if args.l_cap:
+        mopts["l_cap"] = args.l_cap
+    print("mode:", "stream" if mopts["stream"] else "resident", mopts)
     tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega_mod._tables(
         sd, jnp)
     cam24 = jnp.concatenate([
@@ -68,15 +83,17 @@ def main():
         def bench_call(ints_):
             out = megak.render_mega(
                 sd.n_clusters, ints_, cam24, ltab, lights2,
-                sd.cluster_planes, sd.cluster_begin_col, sd.cluster_triu,
+                sd.cluster_planes, sd.cluster_begin_col, mtriu,
                 sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
+                sd.cluster_chunk_planes,
                 cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),
                            int(sd.env_map.shape[1])),
                 nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
                 has_refract=sd.has_refract, gather=cfg.mega_gather,
-                interpret=jax.default_backend() == "cpu", _debug=dbg)
+                interpret=jax.default_backend() == "cpu", _debug=dbg,
+                **mopts)
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),
                               jnp.sum(out[3]), jnp.sum(out[0:3])])
 
