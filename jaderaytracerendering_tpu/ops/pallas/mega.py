@@ -502,10 +502,10 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
     @pl.when(n_act > 0)
     def _():
         if anyhit:
-            btw_ref[:] = jnp.zeros((tm, kp), jnp.float32)
+            btw_ref[0:tm] = jnp.zeros((tm, kp), jnp.float32)
         else:
-            btw_ref[:] = jnp.full((tm, kp), INF, jnp.float32)
-            bw_ref[:] = jnp.zeros((tm, kp), jnp.int32)
+            btw_ref[0:tm] = jnp.full((tm, kp), INF, jnp.float32)
+            bw_ref[0:tm] = jnp.zeros((tm, kp), jnp.int32)
 
         fh = feats.astype(jnp.bfloat16)
         fl = (feats - fh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -525,12 +525,13 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                   & ((su + sv) * a <= a * a) & (st * a > 0.0)
                   & (k_io + begin != ex))
             if anyhit:
-                btw_ref[:] = jnp.maximum(btw_ref[:], ok.astype(jnp.float32))
+                btw_ref[0:tm] = jnp.maximum(btw_ref[0:tm],
+                                            ok.astype(jnp.float32))
             else:
                 t = jnp.where(ok, st / a, INF)
-                better = t < btw_ref[:]
-                btw_ref[:] = jnp.where(better, t, btw_ref[:])
-                bw_ref[:] = jnp.where(better, begin, bw_ref[:])
+                better = t < btw_ref[0:tm]
+                btw_ref[0:tm] = jnp.where(better, t, btw_ref[0:tm])
+                bw_ref[0:tm] = jnp.where(better, begin, bw_ref[0:tm])
 
         if stream:
             def start_fetch(slot, cid):
@@ -587,12 +588,12 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
         # cannot legalize tpu.transpose on i1 vectors (measured HTTP-500
         # on hardware; the AOT lowering gate does not reach that stage).
         hmax_t = jnp.transpose(
-            jnp.max(btw_ref[:], axis=1, keepdims=True), (1, 0))
+            jnp.max(btw_ref[0:tm], axis=1, keepdims=True), (1, 0))
         bt = jnp.where(empty | (hmax_t <= 0.0), INF, 1.0)
         return bt, jnp.zeros((1, tm), jnp.int32)
-    btw = btw_ref[:]
+    btw = btw_ref[0:tm]
     tmin = jnp.min(btw, axis=1, keepdims=True)
-    idw = bw_ref[:] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
+    idw = bw_ref[0:tm] + jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1)
     sel2 = jnp.where(btw <= tmin, idw, jnp.int32(2 ** 30))
     bt = jnp.where(empty, INF, jnp.transpose(tmin, (1, 0)))
     bi = jnp.where(empty, 0,
