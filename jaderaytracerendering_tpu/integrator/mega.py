@@ -39,6 +39,30 @@ _pack_cache: dict = {}
 MEGA_STREAM_VMEM_BUDGET = 40 * 2 ** 20
 
 
+def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
+    """Per-tile VMEM scratch + small resident tables the budget checks
+    must count alongside the big gather tables: the [tmq, kp] btw/bw
+    pair and the stream double buffer grow with mega_tile and the
+    per-cluster triangle capacity, and an extreme scene could pass a
+    tables-only check yet exceed the 100 MiB Mosaic limit at compile."""
+    from ..ops.pallas import mega as megak
+
+    tmq = int(getattr(cfg, "mega_tile", megak.TM) or megak.TM)
+    kp = int(sd.cluster_coef.shape[2]) // 4
+    cp = int(sd.cluster_planes.shape[1])
+    l_cap = 64 if cp <= 512 else 256
+    planes = (sd.cluster_planes.nbytes + sd.cluster_begin_col.nbytes
+              + sd.cluster_chunk_planes.nbytes)
+    scratch = (48 * tmq * 4 + 8 * tmq * 4          # fst/mst state
+               + l_cap * 4 + 4                     # candidate ids + count
+               + 2 * tmq * kp * 4                  # btw/bw wide
+               + tmq * 8 * 4 + tmq * 128 * 4)      # gather ids + rows
+    if stream:
+        scratch += 2 * 16 * 4 * kp * 4             # coef double buffer
+        scratch += int(sd.cluster_chunk_planes.shape[1]) * 4
+    return planes + scratch
+
+
 def mode(sd, cfg: RenderConfig):
     """'resident' (whole scene in VMEM) | 'stream' (coefficients + SSS
     pick tables in HBM, chunked compaction) | None (pool fallback)."""
@@ -49,11 +73,13 @@ def mode(sd, cfg: RenderConfig):
     total = (sd.cluster_coef.nbytes + sd.cluster_triu.nbytes
              + sd.tri_table.nbytes + sd.env_pack.nbytes
              + (sd.sss_bucket.nbytes + sd.sss_window.nbytes
-                if sd.has_sss else 0))
+                if sd.has_sss else 0)
+             + _scratch_bytes(sd, cfg, stream=False))
     if (sd.cluster_triu.size and total <= MEGA_VMEM_BUDGET
             and not getattr(cfg, "mega_force_stream", False)):
         return "resident"
-    resident_part = sd.tri_table.nbytes + sd.env_pack.nbytes
+    resident_part = (sd.tri_table.nbytes + sd.env_pack.nbytes
+                     + _scratch_bytes(sd, cfg, stream=True))
     if resident_part <= MEGA_STREAM_VMEM_BUDGET:
         return "stream"
     return None

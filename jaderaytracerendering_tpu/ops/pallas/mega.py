@@ -173,6 +173,12 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
             hi_b = jnp.where(gate, hi_b, lo_b)
         return jax.lax.fori_loop(lo_b, hi_b, mbody,
                                  jnp.zeros((tm, 128), jnp.float32))
+    if mode == "dma":
+        # 'dma' reads tab_ref via async copies only — a fall-through to
+        # the generic per-lane loop below would read a pl.ANY (HBM) ref
+        # directly, an illegal Mosaic load. Fail loudly at trace time.
+        assert mask is not None, "_take_rows mode='dma' requires a mask"
+        assert dma_sem is not None, "_take_rows mode='dma' needs dma_sem"
     if mode in ("cloop", "dma") and mask is not None:
         # count-compacted loop for SCATTERED sites: MXU-cumsum compact
         # the consumer lanes' (id, lane) pairs to a prefix, then loop
@@ -534,12 +540,20 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 bw_ref[0:tm] = jnp.where(better, begin, bw_ref[0:tm])
 
         if stream:
+            # cid is clamped to >= 0 at every fetch: the compaction
+            # invariant says slots 0..n_act-1 are always populated
+            # (cid >= 0), but an out-of-bounds HBM DMA from
+            # coefs_ref.at[-1] on a future compaction bug would be
+            # silent corruption — clamp so the failure mode is a
+            # harmless duplicate visit of cluster 0 instead.
             def start_fetch(slot, cid):
-                pltpu.make_async_copy(coefs_ref.at[cid], buf_ref.at[slot],
+                pltpu.make_async_copy(coefs_ref.at[jnp.maximum(cid, 0)],
+                                      buf_ref.at[slot],
                                       dsem.at[slot]).start()
 
             def wait_fetch(slot, cid):
-                pltpu.make_async_copy(coefs_ref.at[cid], buf_ref.at[slot],
+                pltpu.make_async_copy(coefs_ref.at[jnp.maximum(cid, 0)],
+                                      buf_ref.at[slot],
                                       dsem.at[slot]).wait()
 
             def run(n_visits, cid_of):
@@ -556,7 +570,12 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
 
                     cid = cid_of(l)
                     wait_fetch(slot, cid)
-                    test_cluster_val(buf_ref[slot], begin_ref[cid, 0])
+
+                    @pl.when(cid >= 0)  # parity with the resident path
+                    def _():
+                        test_cluster_val(buf_ref[slot],
+                                         begin_ref[jnp.maximum(cid, 0), 0])
+
                     return carry
 
                 jax.lax.fori_loop(0, n_visits, visit, 0)

@@ -66,7 +66,10 @@ def main():
         t1s = (bb[None] - o[:, None]) * inv[:, None]
         tn = np.minimum(t0s, t1s).max(axis=2)
         tf = np.maximum(t0s, t1s).min(axis=2)
-        hit = tf >= np.maximum(tn, 0.0)
+        # match the kernel's predicate exactly: dist = where(tn>0, tn, tf)
+        # must be STRICTLY positive (not tf >= max(tn, 0), which is
+        # optimistic-high at boundary cases)
+        hit = (tf >= tn) & (np.where(tn > 0, tn, tf) > 0)
         return int(hit.any(axis=0).sum()), float(hit.sum(1).mean())
 
     rng = np.random.default_rng(0)
