@@ -267,7 +267,7 @@ def _measure(args) -> float:
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),
                            int(sd.env_map.shape[1])),
-                nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
+                cdf_window=16, spp=int(cfg.spp),
                 has_refract=sd.has_refract, gather=cfg.mega_gather,
                 interpret=jax.default_backend() == "cpu", **mopts)
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),

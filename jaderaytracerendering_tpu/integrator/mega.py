@@ -145,7 +145,13 @@ def _tables(sd, xp):
     else:
         buk = jnp.zeros((1, 128), jnp.float32)
         win = jnp.zeros((1, 128), jnp.float32)
-    ota = jnp.asarray(np.asarray(sd.obj_total_area)[:, None], jnp.float32)
+    # per-object row: (total_area, cdf bucket count, flat bucket base, 0)
+    # — nb/base are < 2^24 (assemble asserts) so f32 carries them exactly
+    ota = jnp.asarray(np.stack([
+        np.asarray(sd.obj_total_area, np.float32),
+        np.asarray(sd.sss_bnb, np.float32),
+        np.asarray(sd.sss_bbase, np.float32),
+        np.zeros((sd.n_objects,), np.float32)], axis=1), jnp.float32)
 
     e_cnt = sd.n_emit
     zc = jnp.zeros((max(e_cnt, 1), 7), jnp.float32)
@@ -201,7 +207,7 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
             tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes,
             cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-            nb=int(sd.sss_nb), cdf_window=16, spp=step,
+            cdf_window=16, spp=step,
             has_refract=sd.has_refract, gather=cfg.mega_gather,
             interpret=interpret, **opts)
         accum = accum + jnp.transpose(out[0:3, :npix], (1, 0)).reshape(

@@ -153,12 +153,20 @@ CDF_WINDOW = 16
 
 
 def build_area_cdf_tables(prefix_area, obj_total_area, seg_begin, seg_end,
-                          mapping, nb: int = 1 << 14, nb_max: int = 1 << 20):
+                          mapping, nb: int = 1 << 7, nb_max: int = 1 << 24):
     """Host-side (numpy) tables for area_cdf_pick_fast.
 
-    Returns (bucket [O*NB, 2] int32, window [T, 32] float32, NB), or
-    (None, None, 0) if no power-of-two NB <= nb_max brackets every bucket
-    within the window width (pathological area distributions)."""
+    Bucket counts are PER OBJECT: each object independently escalates its
+    power-of-two count until every bucket brackets within the CDF window.
+    A 400k-tri buddha needs ~2^22 buckets (adjacent f32 prefix values
+    leave ~40 triangles per 2^20-wide bucket) while the floor quad needs
+    2^7, so a uniform count would waste O(n_obj * max_nb) table memory —
+    the uniform-NB version capped at 2^20 and DISABLED the fast path (and
+    with it megakernel eligibility) on 400k-tri SSS scenes.
+
+    Returns (bucket [sum nb_o, 2] int32, window [T, 32] float32,
+    nbs [O] int32, bases [O] int32), or (None, None, None, None) if any
+    object defeats bucketing below nb_max (pathological distributions)."""
     import numpy as np
 
     p = np.asarray(prefix_area, np.float32)
@@ -193,32 +201,47 @@ def build_area_cdf_tables(prefix_area, obj_total_area, seg_begin, seg_end,
         # but keep the clip-low answer defined anyway
         exit_sorted[l0] = mapping[middle[0]] if r0 > l0 else mapping[0]
 
-    # --- per-object j at the f32 bucket edges
-    while True:
-        edges = np.arange(nb + 1, dtype=np.float64) / nb
-        lo_u = edges[:-1].astype(np.float32)
-        hi_u = np.nextafter(edges[1:].astype(np.float32), np.float32(0.0),
-                            dtype=np.float32)
-        bucket = np.zeros((n_obj, nb, 2), np.int32)
-        width_ok = True
-        for o in range(n_obj):
-            l0, r0 = int(seg_begin[o]), int(seg_end[o])
-            seg = p[l0 : r0 + 1]
+    # --- per-object j at the f32 bucket edges, per-object bucket counts
+    parts = []
+    nbs = np.zeros(n_obj, np.int64)
+    for o in range(n_obj):
+        l0, r0 = int(seg_begin[o]), int(seg_end[o])
+        seg = p[l0 : r0 + 1]
+        def attempt(nb_o):
+            edges = np.arange(nb_o + 1, dtype=np.float64) / nb_o
+            lo_u = edges[:-1].astype(np.float32)
+            hi_u = np.nextafter(edges[1:].astype(np.float32),
+                                np.float32(0.0), dtype=np.float32)
             t_lo = (lo_u * total[o]).astype(np.float32)
             t_hi = (hi_u * total[o]).astype(np.float32)
             jlo = l0 + np.searchsorted(seg, t_lo, side="left")
             jhi = l0 + np.searchsorted(seg, t_hi, side="left")
             jlo = np.clip(jlo, l0 + 1, r0)
             jhi = np.clip(jhi, l0 + 1, r0)
-            bucket[o, :, 0] = jlo
-            bucket[o, :, 1] = jhi
-            if (jhi - jlo).max(initial=0) > CDF_WINDOW - 1:
-                width_ok = False
-        if width_ok:
-            break
-        nb *= 4
-        if nb > nb_max:
-            return None, None, 0
+            ok = (jhi - jlo).max(initial=0) <= CDF_WINDOW - 1
+            return ok, jlo, jhi
+
+        nb_o = nb
+        while True:
+            ok, jlo, jhi = attempt(nb_o)
+            if ok:
+                break
+            nb_o *= 4
+            if nb_o > nb_max:
+                return None, None, None, None
+        if nb_o > nb:
+            # x4 escalation can overshoot by one power of two (64 MB on
+            # a 400k-tri object); one halving probe recovers it
+            ok2, jlo2, jhi2 = attempt(nb_o // 2)
+            if ok2:
+                nb_o, jlo, jhi = nb_o // 2, jlo2, jhi2
+        nbs[o] = nb_o
+        parts.append(np.stack([jlo, jhi], axis=1).astype(np.int32))
+    bases = np.concatenate([[0], np.cumsum(nbs)[:-1]]).astype(np.int64)
+    bucket = np.concatenate(parts) if parts else np.zeros((0, 2), np.int32)
+    # the mega kernel extracts bucket rows via f32 one-hot sums and the
+    # stream mode DMAs f32-packed rows — flat ids must stay f32-exact
+    assert bucket.shape[0] < (1 << 24), "bucket ids stored as f32 in mega"
 
     # --- sliding windows: prefix values + pre-clipped answers per j
     win = np.zeros((t_cnt, 2 * CDF_WINDOW), np.float32)
@@ -229,7 +252,7 @@ def build_area_cdf_tables(prefix_area, obj_total_area, seg_begin, seg_end,
     for k in range(CDF_WINDOW):
         win[:, k] = pad_p[k : k + t_cnt]
         win[:, CDF_WINDOW + k] = pad_a[k : k + t_cnt]
-    return bucket.reshape(n_obj * nb, 2), win, nb
+    return bucket, win, nbs.astype(np.int32), bases.astype(np.int32)
 
 
 # ---- lane-dense (SoA plane) variants ---------------------------------------
@@ -298,9 +321,9 @@ def area_cdf_pick_fast_p(u, obj_id, sd, xp):
     [M, 2]/[M, 32] gather outputs are transposed to [2, M]/[32, M] so
     every downstream read is a dense sublane row, not a padded-lane
     column slice."""
-    nb = sd.sss_nb
-    b = xp.clip((u * nb).astype(xp.int32), 0, nb - 1)
-    brow = xp.transpose(sd.sss_bucket[obj_id * nb + b])   # [2, M]
+    nbv = sd.sss_bnb[obj_id]                              # [M] i32
+    b = xp.clip((u * nbv.astype(xp.float32)).astype(xp.int32), 0, nbv - 1)
+    brow = xp.transpose(sd.sss_bucket[sd.sss_bbase[obj_id] + b])  # [2, M]
     jlo, jhi = brow[0], brow[1]
     target = u * sd.obj_total_area[obj_id]
     wrow = xp.transpose(sd.sss_window[jlo])               # [32, M]
@@ -316,9 +339,9 @@ def area_cdf_pick_fast_p(u, obj_id, sd, xp):
 
 def area_cdf_pick_fast(u, obj_id, sd, xp):
     """Exact table-driven area_cdf_pick (see build_area_cdf_tables)."""
-    nb = sd.sss_nb
-    b = xp.clip((u * nb).astype(xp.int32), 0, nb - 1)
-    brow = sd.sss_bucket[obj_id * nb + b]               # [M, 2]
+    nbv = sd.sss_bnb[obj_id]                            # [M] i32
+    b = xp.clip((u * nbv.astype(xp.float32)).astype(xp.int32), 0, nbv - 1)
+    brow = sd.sss_bucket[sd.sss_bbase[obj_id] + b]      # [M, 2]
     jlo, jhi = brow[..., 0], brow[..., 1]
     target = u * sd.obj_total_area[obj_id]
     wrow = sd.sss_window[jlo]                           # [M, 32]

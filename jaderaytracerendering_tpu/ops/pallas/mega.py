@@ -350,15 +350,20 @@ def _env_sample(env_ref, idsl_ref, grow_ref, d: V3, shape, clamp, mode,
               jnp.minimum(color.z, clamp))
 
 
-def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, obj, ota, nb: int,
+def _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref, u, nbv, basev, ota,
               cdf_window: int, mode, gate=None, mask=None, dma_sem=None):
     """In-kernel twin of sampling.area_cdf_pick_fast_p ([1, TM] planes):
     bucket row (64 (jlo, jhi) pairs per 128-lane row, one-hot lane
     extraction) -> window row (CDF_WINDOW prefix f32 + CDF_WINDOW ids,
-    packed 128//(2*CDF_WINDOW) per row) -> exact windowed count."""
+    packed 128//(2*CDF_WINDOW) per row) -> exact windowed count.
+
+    ``nbv``/``basev`` [1, TM] f32: the lane's object's bucket count and
+    flat bucket-table base (per-object counts — see
+    sampling.build_area_cdf_tables); values < 2^24 so f32 is exact."""
     tm = u.shape[1]
-    b = jnp.clip((u * nb).astype(jnp.int32), 0, nb - 1)
-    bid = obj * nb + b                                # [1, TM]
+    nbi = nbv.astype(jnp.int32)
+    b = jnp.clip((u * nbv).astype(jnp.int32), 0, nbi - 1)
+    bid = basev.astype(jnp.int32) + b                 # [1, TM]
     rows = _take_rows(buk_ref, bid // 64, idsl_ref, grow_ref, mode,
                       gate=gate, mask=mask, dma_sem=dma_sem)
     p2_t = jnp.transpose(2 * (bid % 64), (1, 0))      # [TM, 1]
@@ -650,7 +655,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                  idsl_ref, grow_ref, *rest, cfg, npix: int, e_cnt: int,
                  has_sss: bool, has_refract: bool,
                  kp: int, cp: int, n_clusters: int, l_cap: int,
-                 env_shape, nb: int, cdf_window: int, spp: int,
+                 env_shape, cdf_window: int, spp: int,
                  max_iters: int, gather: str, debug: str = "full",
                  tm: int = TM, chunked: bool = False, stream: bool = False):
     from ...core import camera as camera_mod
@@ -798,8 +803,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         if has_sss:
             obj = trow[12].astype(jnp.int32)
             ota = jnp.zeros((1, tm), jnp.float32)
+            nbv = jnp.ones((1, tm), jnp.float32)
+            basev = jnp.zeros((1, tm), jnp.float32)
             for o_ in range(ota_ref.shape[0]):
-                ota = jnp.where(obj == o_, ota_ref[o_, 0], ota)
+                sel = obj == o_
+                ota = jnp.where(sel, ota_ref[o_, 0], ota)
+                nbv = jnp.where(sel, ota_ref[o_, 1], nbv)
+                basev = jnp.where(sel, ota_ref[o_, 2], basev)
             # branch masks FIRST so the whole SSS pick chain (bucket +
             # window + exit-tri rows: 4 serial gather loops) is skipped
             # when no lane in the tile exits an SSS walk this iteration
@@ -809,8 +819,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
             g_sss = jnp.sum(sss_exit0.astype(jnp.float32)) > 0.0
             exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
-                                 us[2], obj, ota, nb, cdf_window, gm_cdf,
-                                 gate=g_sss, mask=sss_exit0, dma_sem=rsem)
+                                 us[2], nbv, basev, ota, cdf_window,
+                                 gm_cdf, gate=g_sss, mask=sss_exit0,
+                                 dma_sem=rsem)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
             et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                          exit_tri, gm_cdfrow, gate=g_sss,
@@ -1098,12 +1109,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "e_cnt", "has_sss", "has_refract",
-    "env_shape", "nb", "cdf_window", "spp", "shard_px", "l_cap", "gather",
+    "env_shape", "cdf_window", "spp", "shard_px", "l_cap", "gather",
     "interpret", "_debug", "chunked", "stream"))
 def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 sd_triu, sd_coef, tri8, mat16, envp, buk, win, ota, chunkp,
                 *, cfg, npix,
-                e_cnt, has_sss, env_shape, nb, cdf_window, spp,
+                e_cnt, has_sss, env_shape, cdf_window, spp,
                 has_refract=False, shard_px=None, l_cap=64, gather="take",
                 interpret=False, _debug="full", chunked=False, stream=False):
     """One launch = the whole render: returns [8, Mp] f32 with rows
@@ -1127,7 +1138,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         _mega_kernel, cfg=cfg, npix=int(npix), e_cnt=int(e_cnt),
         has_sss=bool(has_sss), has_refract=bool(has_refract),
         kp=kp, cp=cp, n_clusters=int(n_clusters),
-        l_cap=int(l_cap), env_shape=env_shape, nb=int(nb),
+        l_cap=int(l_cap), env_shape=env_shape,
         cdf_window=int(cdf_window), spp=int(spp),
         max_iters=int(max_iters), gather=gather, debug=_debug, tm=tmq,
         chunked=chunked, stream=stream)

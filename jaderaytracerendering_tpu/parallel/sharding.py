@@ -11,8 +11,15 @@ parallelism is one CUDA grid on one GPU. The TPU build's scaling axes are
   the renderer's analogue of sequence/batch-split axes.
 
 Both compose in one 2D mesh ('tile', 'spp'). Scene buffers are
-replicated; the film is sharded on 'tile'. DCN-spanning multi-slice would
-layer jax.distributed.initialize on top of the same code path.
+replicated; the film is sharded on 'tile'.
+
+DCN-spanning multi-slice layers jax.distributed.initialize on top of the
+SAME render code path: ``init_distributed()`` starts the multi-process
+runtime, ``make_multislice_mesh()`` lays the 'tile' axis within a slice
+(collectives ride ICI) and the 'spp' axis ACROSS slices — the spp-axis
+psum moves one [P, 3] radiance block per batch, the only traffic light
+enough to cross DCN. ``host_local_to_global`` lifts each process's
+host-local inputs into global arrays for the sharded entry points.
 """
 
 from __future__ import annotations
@@ -41,6 +48,80 @@ def make_mesh(shape: Optional[Tuple[int, ...]] = None,
     if len(shape) < len(axis_names):
         shape = shape + (1,) * (len(axis_names) - len(shape))
     return Mesh(devices[: int(np.prod(shape))].reshape(shape), axis_names)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> bool:
+    """Start JAX's multi-process (DCN-spanning) runtime — the reference's
+    'communication backend' row at pod scale (SURVEY §2.3): after this,
+    jax.devices() is GLOBAL across all slices/processes and the sharded
+    render entry points run unchanged over a multislice mesh.
+
+    On TPU pods all arguments auto-detect from the environment; pass them
+    explicitly for CPU smoke rigs or custom launchers. Returns True if
+    this call initialized the runtime, False if it already was (safe to
+    call more than once)."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+        return True
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return False
+        raise
+
+
+def make_multislice_mesh(tile: Optional[int] = None,
+                         spp_per_slice: int = 1,
+                         axis_names: Sequence[str] = ("tile", "spp")) -> Mesh:
+    """Global mesh for multi-slice rendering: 'tile' runs WITHIN a slice
+    (film-shard collectives ride ICI), 'spp' runs ACROSS slices (times
+    spp_per_slice within), so the only DCN traffic is the one [P, 3]
+    radiance psum per batch. Requires init_distributed() first (or a
+    single process, where it degenerates to make_mesh).
+
+    tile defaults to all of a slice's devices divided by spp_per_slice."""
+    devs = jax.devices()
+    n_proc = max(d.process_index for d in devs) + 1
+    by_slice = [[d for d in devs if d.process_index == s]
+                for s in range(n_proc)]
+    per = len(by_slice[0])
+    assert all(len(b) == per for b in by_slice), "uneven slices"
+    assert per % spp_per_slice == 0, "spp_per_slice must divide slice size"
+    if tile is None:
+        tile = per // spp_per_slice
+    assert tile * spp_per_slice == per, "tile*spp_per_slice != slice size"
+    # [tile, spp]: column-major spp within a slice, slices concatenated
+    # along 'spp' — psum('spp') reduces within ICI first, one hop on DCN
+    cols = []
+    for b in by_slice:
+        arr = np.asarray(b, dtype=object).reshape(tile, spp_per_slice)
+        cols.append(arr)
+    return Mesh(np.concatenate(cols, axis=1), axis_names)
+
+
+def host_local_to_global(mesh: Mesh, spec, x):
+    """Lift one process's host-local (replicated-content) array into a
+    global jax.Array on ``mesh`` with PartitionSpec ``spec``. Every
+    process must hold the FULL logical array (true for scene buffers,
+    camera and pixel-id tables); each contributes only its addressable
+    shards."""
+    from jax.sharding import NamedSharding
+
+    x = np.asarray(x)
+    s = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+
+def scene_to_global(mesh: Mesh, sd):
+    """Replicate a SceneData pytree onto a (possibly multi-process)
+    mesh."""
+    return jax.tree_util.tree_map(
+        lambda a: host_local_to_global(mesh, P(), a), sd)
 
 
 @functools.partial(
@@ -224,7 +305,7 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, mtriu,
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd_.n_emit,
             has_sss=sd_.has_sss,
             env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),
-            nb=int(sd_.sss_nb), cdf_window=16, spp=spp_local,
+            cdf_window=16, spp=spp_local,
             has_refract=sd_.has_refract, shard_px=shard_px,
             gather=cfg.mega_gather, interpret=interpret,
             **dict(mopts))

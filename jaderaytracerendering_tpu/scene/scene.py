@@ -163,6 +163,11 @@ class SceneData:
     # scene has no SSS material or the distribution defeated bucketing
     sss_bucket: jax.Array
     sss_window: jax.Array
+    # per-object bucket count + flat base offset into sss_bucket (bucket
+    # counts are per object — a 400k-tri object needs 2^22 buckets while
+    # a quad needs 2^7; see sampling.build_area_cdf_tables)
+    sss_bnb: jax.Array
+    sss_bbase: jax.Array
 
     # ---- static metadata (compile-time specialization) ----
     n_triangles: int = dataclasses.field(metadata=dict(static=True))
@@ -320,15 +325,19 @@ def assemble(
     has_sss = bool((refract_modes == material_mod.SUB_SURFACE).any())
     sss_bucket = np.zeros((0, 2), np.int32)
     sss_window = np.zeros((0, 32), np.float32)
+    sss_bnb = np.zeros((len(objects),), np.int32)
+    sss_bbase = np.zeros((len(objects),), np.int32)
     sss_nb = 0
     if has_sss:
         from ..integrator import sampling as sampling_mod
 
-        bkt, win, sss_nb = sampling_mod.build_area_cdf_tables(
+        bkt, win, nbs, bases = sampling_mod.build_area_cdf_tables(
             prefix_area, obj_total_area, seg_begin, seg_end, mapping
         )
-        if sss_nb:
+        if bkt is not None:
             sss_bucket, sss_window = bkt, win
+            sss_bnb, sss_bbase = nbs, bases
+            sss_nb = int(nbs.max())  # static flag: tables built
 
     to = (lambda a, dt=np.float32: xp.asarray(np.ascontiguousarray(a), dt))
     return SceneData(
@@ -383,6 +392,8 @@ def assemble(
             p3[emit_idx].astype(np.float32), np)),
         sss_bucket=to(sss_bucket, np.int32),
         sss_window=to(sss_window),
+        sss_bnb=to(sss_bnb, np.int32),
+        sss_bbase=to(sss_bbase, np.int32),
         n_triangles=t,
         n_objects=len(objects),
         n_emit=int(len(emit_idx)),

@@ -143,11 +143,13 @@ class TestSampling:
             sd.seg_begin = np.asarray(seg_b, np.int32)
             sd.seg_end = np.asarray(seg_e, np.int32)
             sd.mapping = rng_.permutation(len(sd.prefix_area)).astype(np.int32)
-            bkt, win, nb = sampling.build_area_cdf_tables(
+            bkt, win, nbs, bases = sampling.build_area_cdf_tables(
                 sd.prefix_area, sd.obj_total_area, sd.seg_begin, sd.seg_end,
                 sd.mapping)
-            assert nb
-            sd.sss_bucket, sd.sss_window, sd.sss_nb = bkt, win, nb
+            assert bkt is not None
+            sd.sss_bucket, sd.sss_window = bkt, win
+            sd.sss_bnb, sd.sss_bbase = nbs, bases
+            sd.sss_nb = int(nbs.max())
             return sd
 
         zero_runs = np.ones(300)

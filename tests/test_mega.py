@@ -215,7 +215,7 @@ def test_mega_stream_lcap_overflow_dense_fallback():
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-            nb=int(sd.sss_nb), cdf_window=16, spp=2,
+            cdf_window=16, spp=2,
             has_refract=sd.has_refract, gather=cfg.mega_gather,
             l_cap=l_cap, chunked=True, stream=True, interpret=True)
         return np.asarray(out[0:3, :npix])

@@ -103,7 +103,7 @@ def test_mega_lowers_for_tpu(jade, gather):
             sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-            nb=int(sd.sss_nb), cdf_window=16, spp=4, has_refract=False,
+            cdf_window=16, spp=4, has_refract=False,
             gather=gather, interpret=False)
 
     _lower(f, *_mega_args(sd))
@@ -127,7 +127,7 @@ def test_mega_refract_lowers_for_tpu():
             sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-            nb=int(sd.sss_nb), cdf_window=16, spp=2,
+            cdf_window=16, spp=2,
             has_refract=True, gather="loop", interpret=False)
 
     _lower(f, *_mega_args(sd))
@@ -170,7 +170,7 @@ def test_mega_stream_lowers_for_tpu(jade):
             sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
-            nb=int(sd.sss_nb), cdf_window=16, spp=4, has_refract=False,
+            cdf_window=16, spp=4, has_refract=False,
             gather="auto", interpret=False, **mopts)
 
     args = list(_mega_args(sd))

@@ -90,7 +90,7 @@ def main():
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),
                            int(sd.env_map.shape[1])),
-                nb=int(sd.sss_nb), cdf_window=16, spp=int(cfg.spp),
+                cdf_window=16, spp=int(cfg.spp),
                 has_refract=sd.has_refract, gather=cfg.mega_gather,
                 interpret=jax.default_backend() == "cpu", _debug=dbg,
                 **mopts)
