@@ -153,17 +153,22 @@ def _run_matrix(base) -> None:
                 mrays, eng = m2, "mega"
         results[name] = _line(mrays, config=name, engine=eng)
         print(json.dumps(results[name]), flush=True)
-    for name, eng in (("preview1024", "pool"), ("preview1024_mega", "mega")):
+    for name, eng, bands in (("preview1024", "pool", 1),
+                             ("preview1024_mega", "mega", 1),
+                             ("preview1024_band4", "pool", 4),
+                             ("preview1024_mega_band4", "mega", 4)):
         try:
             fps = _measure_preview_fps(base, width=1024, height=1024,
-                                       engine=eng)
+                                       engine=eng, bands=bands)
         except Exception:
             import traceback
 
             traceback.print_exc()
             fps = 0.0
+        label = f"preview FPS @1024x1024 ({eng}" + (
+            f", {bands} bands)" if bands > 1 else ")")
         results[name] = {
-            "metric": f"preview FPS @1024x1024 ({eng})",
+            "metric": label,
             "value": round(fps, 2), "unit": "frames/s", "config": name,
         }
         print(json.dumps(results[name]), flush=True)
@@ -188,9 +193,12 @@ def _scene(args):
 
 
 def _measure_preview_fps(base, width: int, height: int,
-                         frames: int = 6, engine: str = "pool") -> float:
+                         frames: int = 6, engine: str = "pool",
+                         bands: int = 1) -> float:
     """Per-frame FPS of the progressive 2-bounce preview integrator at
-    the reference's window resolution (PathTrace.cu:24-30 -DLARGE)."""
+    the reference's window resolution (PathTrace.cu:24-30 -DLARGE).
+    ``bands`` > 1 measures the banded progressive mode (the CLI's auto
+    default at 1024^2): one band of pixels per displayed frame."""
     import jax.numpy as jnp
 
     from jaderaytracerendering_tpu.core.film import Film
@@ -205,18 +213,20 @@ def _measure_preview_fps(base, width: int, height: int,
     cfg = RenderConfig(width=width, height=height, spp=1, spp_batch=1,
                        max_depth=2, rays_per_launch=1 << 18,
                        traversal=base.traversal, integrator="preview",
-                       engine=engine)
+                       engine=engine, preview_bands=bands)
     film = Film.create(cfg.height, cfg.width)
     # the preview CLI loop: one dispatch per frame, device-side tonemap,
     # and the FULL u8 display frame transfer is the honest barrier
     film, disp = R.render_film_preview(sd, ds.camera, cfg, film=film,
-                                       display=True)  # compile
+                                       display=True, frame_idx=0)  # compile
     np.asarray(disp)
+    fi = 1
     t0 = time.perf_counter()
     for _ in range(frames):
         film, disp = R.render_film_preview(sd, ds.camera, cfg, film=film,
-                                           display=True)
+                                           display=True, frame_idx=fi)
         np.asarray(disp)
+        fi += 1
     return frames / (time.perf_counter() - t0)
 
 

@@ -37,6 +37,11 @@ def main(argv=None) -> None:
     ap.add_argument("--out", default="RenderResultTpu.bmp")
     ap.add_argument("--save-every", type=int, default=0,
                     help="write a preview frame every N frames")
+    ap.add_argument("--bands", type=int, default=0,
+                    help="progressive pixel bands per displayed frame "
+                         "(display rate ~bands x the full-frame rate at "
+                         "the same sample rate; 0 = auto: 4 at >= 1024^2, "
+                         "1 = reference parity)")
     args = ap.parse_args(argv)
     common.select_backend(args)
 
@@ -67,11 +72,18 @@ def main(argv=None) -> None:
         # integrator, so much bigger launches are safe — and the frame is
         # dispatch-bound: 16k-ray chunks = 0.4 fps at 1024^2, 256k = 3.5
         cfg = cfg.replace(rays_per_launch=1 << 18)
+    npix_ = cfg.width * cfg.height
+    bands = args.bands
+    if bands == 0:  # auto: band large films (display fps ~x4)
+        bands = 4 if npix_ >= (1 << 19) and npix_ % (4 * 256) == 0 else 1
+    if bands > 1 and npix_ % (bands * 256) == 0:
+        cfg = cfg.replace(preview_bands=bands)
     sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
     stage(f"scene: {sd.n_triangles} tris, {sd.n_nodes} nodes, {sd.n_emit} lights")
 
     film = Film.create(cfg.height, cfg.width)
     frame = 0
+    bframe = 0  # band rotation counter; resets with the film
     t_last = time.perf_counter()
 
     def save(path, the_film, tmap):
@@ -82,9 +94,11 @@ def main(argv=None) -> None:
     pending = None  # previous frame's device-side u8 display image
 
     def step():
-        nonlocal film, frame, t_last, pending
+        nonlocal film, frame, bframe, t_last, pending
         film, disp = R.render_film_preview(
-            sd, cam, cfg.replace(spp=cfg.spp_batch), film=film, display=True)
+            sd, cam, cfg.replace(spp=cfg.spp_batch), film=film,
+            display=True, frame_idx=bframe)
+        bframe += 1
         # pipelined display (the GL loop's implicit double buffering,
         # PathTrace.cpp:1180-1187): the dispatch above is async, so
         # transferring the PREVIOUS frame's u8 image overlaps this
@@ -178,6 +192,7 @@ def main(argv=None) -> None:
             moved = False
         if moved:
             film = film.reset()  # frameCounter = 0
+            bframe = 0  # restart the band rotation with the film
             pending = None  # don't display a pre-move frame
 
 

@@ -216,6 +216,117 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
     return Film(accum=accum, count=film.count + jnp.int32(cfg.spp))
 
 
+def render_film_preview_mega_banded(sd, cam, cfg: RenderConfig, film,
+                                    frame_idx: int, interpret=None):
+    """One BANDED progressive preview frame (cfg.preview_bands = B > 1):
+    band ``frame_idx % B`` receives cfg.spp new samples at sample base
+    ``(frame_idx // B) * cfg.spp``; the returned u8 display frame maps
+    every pixel through its own sample count (derived from the frame
+    counter), so the display rate is ~B x the full-frame kernel rate
+    while per-pixel sampling stays unbiased and identical to B=1.
+
+    Returns (film, disp). film.count is the MAX per-pixel sample count
+    (bands not yet visited this rotation trail by cfg.spp)."""
+    import jax
+    import jax.numpy as jnp
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    tri8, mat16, envp, _, _, _, _, _ = _tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(cam.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(cam.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    accum, disp = _preview_band_step(
+        film.accum, jnp.int32(frame_idx), cam24, sd, tri8, mat16, envp,
+        cfg=cfg, interpret=interpret)
+    count = (int(frame_idx) // cfg.preview_bands + 1) * cfg.spp
+    return Film(accum=accum, count=jnp.int32(count)), disp
+
+
+def _band_px(cfg: RenderConfig) -> int:
+    from ..ops.pallas import mega as megak
+
+    npix = cfg.width * cfg.height
+    tmq = int(getattr(cfg, "mega_tile", megak.TM) or megak.TM)
+    b = npix // cfg.preview_bands
+    assert b * cfg.preview_bands == npix and b % tmq == 0, (
+        "preview_bands must split npix into mega_tile-aligned bands")
+    return b
+
+
+def _preview_band_step(accum, frame, cam24, sd, tri8, mat16, envp, *,
+                       cfg: RenderConfig, interpret: bool):
+    return _preview_band_step_jit(accum, frame, cam24, sd, tri8, mat16,
+                                  envp, cfg_=cfg, interpret_=interpret)
+
+
+def _preview_band_step_impl(accum_, frame_, cam24_, sd_, tri8_, mat16_,
+                            envp_, cfg_, interpret_):
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.pallas import mega as megak
+    from ..post import tonemap
+
+    bpx = _band_px(cfg_)
+    npix = cfg_.width * cfg_.height
+    bands = cfg_.preview_bands
+    band = frame_ % bands
+    base = (frame_ // bands) * cfg_.spp
+    ints = (jnp.zeros((8,), jnp.int32)
+            .at[2].set(base).at[3].set(band * bpx)).reshape(1, 8)
+    out = megak.render_preview_mega(
+        sd_.n_clusters, ints, cam24_, sd_.cluster_planes,
+        sd_.cluster_begin_col, sd_.cluster_triu, sd_.cluster_coef,
+        tri8_, mat16_, envp_, cfg=cfg_.replace(spp=1), npix=npix,
+        env_shape=(int(sd_.env_map.shape[0]),
+                   int(sd_.env_map.shape[1])),
+        spp=int(cfg_.spp), max_bounce=int(cfg_.preview_bounces),
+        gather=cfg_.mega_gather, interpret=interpret_, shard_px=bpx)
+    rad = jnp.transpose(out[0:3], (1, 0))             # [bpx, 3]
+    flat = accum_.reshape(-1, 3)
+    cur = jax.lax.dynamic_slice(flat, (band * bpx, 0), (bpx, 3))
+    flat = jax.lax.dynamic_update_slice(flat, cur + rad, (band * bpx, 0))
+    # per-pixel sample counts from the frame counter alone: bands
+    # <= band have one more rotation than bands > band
+    pband = jnp.arange(npix, dtype=jnp.int32) // bpx
+    cnt = ((frame_ // bands + (pband <= band).astype(jnp.int32))
+           * cfg_.spp).astype(jnp.float32)
+    img = flat / jnp.maximum(cnt, 1.0)[:, None]
+    img = img.reshape(cfg_.height, cfg_.width, 3)[::-1]
+    return (flat.reshape(cfg_.height, cfg_.width, 3),
+            tonemap.finalize(img, jnp, cfg_.tonemap))
+
+
+def _make_band_step_jit():
+    import functools
+
+    import jax
+
+    return functools.partial(
+        jax.jit, static_argnames=("cfg_", "interpret_"),
+        donate_argnums=(0,))(_preview_band_step_impl)
+
+
+class _LazyJit:
+    """Defer the jax import until first use (the package imports this
+    module before tests select the CPU backend)."""
+
+    _fn = None
+
+    def __call__(self, *a, **kw):
+        if _LazyJit._fn is None:
+            _LazyJit._fn = _make_band_step_jit()
+        return _LazyJit._fn(*a, **kw)
+
+
+_preview_band_step_jit = _LazyJit()
+
+
 def render_film_preview_mega(sd, cam, cfg: RenderConfig, film=None,
                              interpret=None) -> Film:
     """One-launch progressive preview frame (2-bounce integrator)."""

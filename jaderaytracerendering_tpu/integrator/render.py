@@ -222,6 +222,68 @@ def _preview_frame(accum, sd, eye, cam_rot, sample_base, n_after,
     return accum, tonemap.finalize(rad, jnp, cfg.tonemap)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sppb", "chunk_px", "band_px"),
+                   donate_argnums=(0,))
+def _preview_band_frame(accum, sd, eye, cam_rot, frame, cfg: RenderConfig,
+                        sppb: int, chunk_px: int, band_px: int):
+    """One BANDED progressive preview frame (cfg.preview_bands = B > 1),
+    engine-generic: band ``frame % B`` gets ``sppb`` new samples at
+    sample base ``(frame // B) * sppb``; the u8 display divides every
+    pixel by its own sample count (derived from the frame counter).
+    Display rate ~B x the full-frame rate; per-pixel sampling is
+    unbiased and identical to B=1. ``accum`` is the flat [npix, 3]
+    film, donated."""
+    npix = cfg.width * cfg.height
+    bands = npix // band_px
+    band = frame % bands
+    base = ((frame // bands) * sppb).astype(jnp.uint32)
+    off = band * band_px
+    n_chunks = -(-band_px // chunk_px)
+    for c in range(n_chunks):
+        take = min(chunk_px, band_px - c * chunk_px)
+        ids = (jnp.arange(take, dtype=jnp.uint32) + jnp.uint32(c * chunk_px)
+               + off.astype(jnp.uint32))
+        out = render_batch(sd, eye, cam_rot, ids, base, cfg, sppb)
+        cur = jax.lax.dynamic_slice(accum, (off + c * chunk_px, 0),
+                                    (take, 3))
+        accum = jax.lax.dynamic_update_slice(accum, cur + out,
+                                             (off + c * chunk_px, 0))
+    pband = jnp.arange(npix, dtype=jnp.int32) // band_px
+    cnt = ((frame // bands + (pband <= band).astype(jnp.int32))
+           * sppb).astype(jnp.float32)
+    img = accum / jnp.maximum(cnt, 1.0)[:, None]
+    img = img.reshape(cfg.height, cfg.width, 3)[::-1]
+    return accum, tonemap.finalize(img, jnp, cfg.tonemap)
+
+
+def render_film_preview_banded(sd, cam, cfg: RenderConfig, film,
+                               frame_idx: int):
+    """Banded progressive preview: render ONE display frame advancing
+    band ``frame_idx % cfg.preview_bands``. Always returns (film, disp).
+    film.count tracks the MAX per-pixel sample count."""
+    npix = cfg.width * cfg.height
+    if film is None:
+        film = Film.create(cfg.height, cfg.width)
+    if cfg.engine == "mega":
+        from . import mega as mega_mod
+
+        if mega_mod.mode(sd, cfg) == "resident":
+            return mega_mod.render_film_preview_mega_banded(
+                sd, cam, cfg, film, frame_idx)
+    band_px = npix // cfg.preview_bands
+    assert band_px * cfg.preview_bands == npix, \
+        "preview_bands must divide the pixel count"
+    chunk_px = max(1, min(band_px, cfg.rays_per_launch // max(1, cfg.spp)))
+    accum, disp = _preview_band_frame(
+        film.accum.reshape(-1, 3), sd, jnp.asarray(cam.eye, jnp.float32),
+        jnp.asarray(cam.camera_rotate, jnp.float32),
+        jnp.int32(frame_idx), cfg, cfg.spp, chunk_px, band_px)
+    count = (int(frame_idx) // cfg.preview_bands + 1) * cfg.spp
+    return (Film(accum=accum.reshape(cfg.height, cfg.width, 3),
+                 count=jnp.int32(count)), disp)
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def _display_frame(accum, count, mode):
     """Film -> tonemapped u8 display image (flipped), device-side."""
@@ -231,12 +293,18 @@ def _display_frame(accum, count, mode):
 
 def render_film_preview(sd, cam, cfg: RenderConfig,
                         film: Optional[Film] = None,
-                        display: bool = False):
+                        display: bool = False,
+                        frame_idx: Optional[int] = None):
     """Preview-integrator film accumulation, one dispatch per frame.
 
     With ``display`` returns ``(film, u8_frame)`` where the [H, W, 3] u8
-    frame is computed device-side inside the final frame's dispatch."""
+    frame is computed device-side inside the final frame's dispatch.
+    With cfg.preview_bands > 1 and a ``frame_idx``, renders one BANDED
+    frame (render_film_preview_banded): ~B x the display rate at the
+    same per-pixel sample rate."""
     npix = cfg.width * cfg.height
+    if cfg.preview_bands > 1 and frame_idx is not None and display:
+        return render_film_preview_banded(sd, cam, cfg, film, frame_idx)
     if cfg.engine == "mega":
         from . import mega as mega_mod
 

@@ -400,7 +400,7 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
            ids_ref, cnt_ref, btw_ref, bw_ref, *, kp, cp, n_clusters,
            l_cap, anyhit: bool, gate, chunkp_ref=None, cstat_ref=None,
            buf_ref=None, dsem=None, chunked: bool = False,
-           stream: bool = False):
+           stream: bool = False, visit_reps: int = 1):
     """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
     [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
 
@@ -598,13 +598,18 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
 
                 jax.lax.fori_loop(0, n_visits, visit, 0)
 
-        @pl.when(n_act <= l_cap)
-        def _():
-            run(n_act, lambda l: ids_ref[l, 0] - 1)
+        # visit_reps=2 ('2xvisit' probe): min/max-accumulating visits
+        # are idempotent, so a replay measures the visit loop's real
+        # cost (DMA + MT) without perturbing control flow
+        for _rep in range(visit_reps):
 
-        @pl.when(n_act > l_cap)
-        def _():
-            run(n_act * 0 + n_clusters, lambda l: l)
+            @pl.when(n_act <= l_cap)
+            def _():
+                run(n_act, lambda l: ids_ref[l, 0] - 1)
+
+            @pl.when(n_act > l_cap)
+            def _():
+                run(n_act * 0 + n_clusters, lambda l: l)
 
     empty = n_act == 0
     if anyhit:
@@ -723,12 +728,22 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
         n_clusters=n_clusters, l_cap=l_cap, chunkp_ref=chunkp_ref,
         cstat_ref=cstat_ref, buf_ref=buf_ref, dsem=dsem,
-        chunked=chunked, stream=stream)
+        chunked=chunked, stream=stream,
+        visit_reps=2 if debug == "2xvisit" else 1)
 
     def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
         if debug == "notrace":
             gate = jnp.float32(0) > 0.0
-        return _base_sweep(*a, gate=gate, **k)
+        r = _base_sweep(*a, gate=gate, **k)
+        if debug == "2xsweep":
+            # idempotent replay: the whole sweep (slab + compaction +
+            # visits) re-runs on identical inputs and reproduces its
+            # outputs bit-exactly, so wall(2xsweep) - wall(full) is the
+            # sweep's REAL cost under unchanged control flow — the
+            # zero-stub ablations (notrace/nogather) change hit results
+            # and with them the ray mix, which muddies attribution
+            r = _base_sweep(*a, gate=gate, **k)
+        return r
 
     # 'block' only pays off for COHERENT ids (cluster-local triangle
     # rows, primary-ray env texels); scattered fetches (CDF buckets,
@@ -1205,7 +1220,9 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
 
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
-    pix = tile * tm + lane
+    # ints col 3 = dynamic pixel offset (band/film-shard base), same
+    # convention as the full megakernel
+    pix = ints_ref[0, 3] + tile * tm + lane
     pix_ok = pix < npix
     pix_u = pix.astype(jnp.uint32)
     seed = cfg.seed
@@ -1324,15 +1341,18 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "n_clusters", "cfg", "npix", "env_shape", "spp",
-    "max_bounce", "l_cap", "gather", "interpret"))
+    "max_bounce", "l_cap", "gather", "interpret", "shard_px"))
 def render_preview_mega(n_clusters, ints, cam, sd_planes, sd_begin, sd_triu,
                         sd_coef, tri8, mat16, envp, *, cfg, npix, env_shape,
                         spp, max_bounce=2, l_cap=64,
-                        gather="take", interpret=False):
+                        gather="take", interpret=False, shard_px=None):
     """One launch = one whole progressive preview frame ([8, Mp] f32,
-    rows 0-2 the per-pixel radiance sum over ``spp`` samples)."""
+    rows 0-2 the per-pixel radiance sum over ``spp`` samples).
+    ``shard_px`` (TM multiple) renders only the pixel window
+    [ints[0,3], ints[0,3]+shard_px) — one band of a banded progressive
+    preview (cfg.preview_bands) or one chip's film shard."""
     tmq = int(getattr(cfg, "mega_tile", TM) or TM)
-    mp = -(-npix // tmq) * tmq
+    mp = shard_px if shard_px else -(-npix // tmq) * tmq
     kp = sd_coef.shape[2] // 4
     cp = sd_planes.shape[1]
     kern = functools.partial(

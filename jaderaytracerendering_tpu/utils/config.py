@@ -37,6 +37,13 @@ class RenderConfig:
     #                                   'gemm' | 'bvh' | 'brute'
     integrator: str = "full"          # 'full' (NEE megakernel) | 'preview'
     preview_bounces: int = 2          # fshader_preview.fsh:397
+    preview_bands: int = 1            # progressive preview: pixels split
+    # into B flat bands, ONE band sampled per displayed frame (band
+    # n % B at sample n // B) — display rate decouples from the
+    # per-pixel sample rate (~B x the frame rate at 1024^2, bounded by
+    # the ~33 fps axon roundtrip ceiling). 1 = reference parity (every
+    # pixel every frame). Requires npix % (B * mega_tile) == 0 for the
+    # mega engine; the CLI picks a valid B automatically.
     engine: str = "pool"              # 'pool' (respawn compaction) |
     # 'scan' | 'mega' (whole-render single-launch Pallas megakernel,
     # integrator/mega.py; ineligible scenes fall back to the pool)
