@@ -123,77 +123,135 @@ def main(argv=None) -> None:
         return
 
     stage("interactive preview: commands = arrows(u/j/k/l) wasd h n c r f q")
-    while True:
-        step()
-        # non-blocking-ish: read a pending command line if present
-        import select
+    # raw-tty mode: single keypresses at frame rate — the reference's
+    # GLFW key_status polling with held-key orbiting
+    # (PathTrace.cpp:729-851). Holding a key autorepeats at terminal
+    # rate, so orbit/move steps stream in per frame exactly like the
+    # reference's move_camera(delta_time) loop. Piped stdin (tests,
+    # scripting) keeps the line-buffered protocol.
+    tty_fd = None
+    saved_termios = None
+    if sys.stdin.isatty():
+        try:
+            import termios
+            import tty as tty_mod
 
-        if not select.select([sys.stdin], [], [], 0)[0]:
-            continue
-        line = sys.stdin.readline()
-        if not line:
-            continue
-        tok = line.strip().split()
-        if not tok:
-            continue
-        cmd = tok[0].lower()
-        moved = True
-        if cmd in ("q", "esc"):
-            break
-        elif cmd in ("up", "u"):
-            cam.orbit(d_up=ROTATE_DELTA)
-        elif cmd in ("down", "j"):
-            cam.orbit(d_up=-ROTATE_DELTA)
-        elif cmd in ("left", "k"):
-            cam.orbit(d_rotate=ROTATE_DELTA)
-        elif cmd in ("right", "l"):
-            cam.orbit(d_rotate=-ROTATE_DELTA)
-        elif cmd == "w":
-            cam.move_center(dy=MOVE_DELTA)
-        elif cmd == "s":
-            cam.move_center(dy=-MOVE_DELTA)
-        elif cmd == "a":
-            cam.move_center(dx=-MOVE_DELTA)
-        elif cmd == "d":
-            cam.move_center(dx=MOVE_DELTA)
-        elif cmd == "h":
-            cam.dolly(-MOVE_DELTA)
-        elif cmd == "n":
-            cam.dolly(MOVE_DELTA)
-        elif cmd == "c":
-            save(args.out, film, cfg.tonemap)
-            moved = False
-        elif cmd == "r":
-            spp = int(tok[1]) if len(tok) > 1 else 64
-            stage(f"offline render at {spp}spp...")
-            # the preview's big launches are for the 2-bounce integrator
-            # only; the full integrator must stay at the 16k lane cap
-            # (larger launch graphs crash the remote compiler)
-            off = R.render_film(
-                sd, cam, cfg.replace(
-                    spp=spp, max_depth=16, integrator="full",
-                    rays_per_launch=min(cfg.rays_per_launch, 1 << 14),
+            tty_fd = sys.stdin.fileno()
+            saved_termios = termios.tcgetattr(tty_fd)
+            tty_mod.setcbreak(tty_fd)
+        except Exception:
+            tty_fd = saved_termios = None
+    is_tty = tty_fd is not None
+    try:
+        while True:
+            step()
+            if is_tty:
+                key = _read_tty_command()
+                if key is None:
+                    continue
+                tok = [key]
+            else:
+                tok = _read_line_command()
+                if tok is None:
+                    continue
+            cmd = tok[0].lower()
+            moved = True
+            if cmd in ("q", "esc"):
+                break
+            elif cmd in ("up", "u"):
+                cam.orbit(d_up=ROTATE_DELTA)
+            elif cmd in ("down", "j"):
+                cam.orbit(d_up=-ROTATE_DELTA)
+            elif cmd in ("left", "k"):
+                cam.orbit(d_rotate=ROTATE_DELTA)
+            elif cmd in ("right", "l"):
+                cam.orbit(d_rotate=-ROTATE_DELTA)
+            elif cmd == "w":
+                cam.move_center(dy=MOVE_DELTA)
+            elif cmd == "s":
+                cam.move_center(dy=-MOVE_DELTA)
+            elif cmd == "a":
+                cam.move_center(dx=-MOVE_DELTA)
+            elif cmd == "d":
+                cam.move_center(dx=MOVE_DELTA)
+            elif cmd == "h":
+                cam.dolly(-MOVE_DELTA)
+            elif cmd == "n":
+                cam.dolly(MOVE_DELTA)
+            elif cmd == "c":
+                save(args.out, film, cfg.tonemap)
+                moved = False
+            elif cmd == "r":
+                spp = int(tok[1]) if len(tok) > 1 else 64
+                stage(f"offline render at {spp}spp...")
+                # the preview's big launches are for the 2-bounce
+                # integrator only; the full integrator must stay at the
+                # 16k lane cap (larger graphs crash the remote compiler)
+                off = R.render_film(
+                    sd, cam, cfg.replace(
+                        spp=spp, max_depth=16, integrator="full",
+                        rays_per_launch=min(cfg.rays_per_launch, 1 << 14),
+                    )
                 )
-            )
-            save(args.out, off, cfg.tonemap)
-            moved = False
-        elif cmd == "f":
-            spec = serialization.SceneSpec(
-                eye=cam.eye, camera_rotate=cam.camera_rotate,
-                objects=demo_mod.to_spec(
-                    demo_mod.DemoScene(objects=objects, env_map=env, camera=cam)
-                ).objects,
-            )
-            serialization.write_render_args("render_args.txt", spec)
-            stage("Saving Cuda Render Args")  # PathTrace.cpp:840
-            break
-        else:
-            stage(f"unknown command {cmd!r}")
-            moved = False
-        if moved:
-            film = film.reset()  # frameCounter = 0
-            bframe = 0  # restart the band rotation with the film
-            pending = None  # don't display a pre-move frame
+                save(args.out, off, cfg.tonemap)
+                moved = False
+            elif cmd == "f":
+                spec = serialization.SceneSpec(
+                    eye=cam.eye, camera_rotate=cam.camera_rotate,
+                    objects=demo_mod.to_spec(
+                        demo_mod.DemoScene(objects=objects, env_map=env,
+                                           camera=cam)
+                    ).objects,
+                )
+                serialization.write_render_args("render_args.txt", spec)
+                stage("Saving Cuda Render Args")  # PathTrace.cpp:840
+                break
+            else:
+                stage(f"unknown command {cmd!r}")
+                moved = False
+            if moved:
+                film = film.reset()  # frameCounter = 0
+                bframe = 0  # restart the band rotation with the film
+                pending = None  # don't display a pre-move frame
+    finally:
+        if saved_termios is not None:
+            import termios
+
+            termios.tcsetattr(tty_fd, termios.TCSADRAIN, saved_termios)
+
+
+def _read_tty_command():
+    """One cbreak keypress -> command token (arrow escape sequences map
+    to the orbit keys); None when no input is pending."""
+    import os
+    import select
+    import sys
+
+    if not select.select([sys.stdin], [], [], 0)[0]:
+        return None
+    ch = os.read(sys.stdin.fileno(), 1).decode(errors="ignore")
+    if ch == "\x1b":  # arrow keys: ESC [ A/B/C/D
+        seq = ""
+        for _ in range(2):
+            if select.select([sys.stdin], [], [], 0.01)[0]:
+                seq += os.read(sys.stdin.fileno(), 1).decode(
+                    errors="ignore")
+        return {"[A": "up", "[B": "down", "[D": "left",
+                "[C": "right"}.get(seq, "esc")
+    return ch.lower() if ch.strip() else None
+
+
+def _read_line_command():
+    import select
+    import sys
+
+    if not select.select([sys.stdin], [], [], 0)[0]:
+        return None
+    line = sys.stdin.readline()
+    if not line:
+        return None
+    tok = line.strip().split()
+    return tok if tok else None
 
 
 if __name__ == "__main__":
