@@ -41,6 +41,7 @@ def _films(ds, cfg, **mega_kw):
 
 
 @pytest.mark.parametrize("rounds", [1, 2])
+@pytest.mark.slow
 def test_mega_jade_sss_matches_scan(rounds):
     ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
     ds.camera.r = 2.0
@@ -57,6 +58,7 @@ def test_mega_cornell_matches_scan():
 
 
 @pytest.mark.parametrize("mode", ["take", "block"])
+@pytest.mark.slow
 def test_mega_gather_modes_agree(mode):
     ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
@@ -68,6 +70,7 @@ def test_mega_gather_modes_agree(mode):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_mega_film_resume():
     ds = demo.tiny_scene()
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
@@ -80,6 +83,7 @@ def test_mega_film_resume():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mega_refract_scene_matches_scan():
     """Direct-refraction scenes run the IN-KERNEL march (a while_loop
     of nested sweeps) and must match the scan engine's XLA march."""
@@ -99,6 +103,7 @@ def test_mega_refract_scene_matches_scan():
     np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_mega_via_render_film_routing():
     ds = demo.diffuse_scene()
     sd = assemble(ds.objects, ds.env_map, xp=jnp)
@@ -108,6 +113,7 @@ def test_mega_via_render_film_routing():
     assert np.isfinite(np.asarray(f.accum)).all()
 
 
+@pytest.mark.slow
 def test_mega_preview_matches_xla_preview():
     ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
     ds.camera.r = 2.0
@@ -124,6 +130,7 @@ def test_mega_preview_matches_xla_preview():
                   - np.asarray(db).astype(int)).max() <= 1
 
 
+@pytest.mark.slow
 def test_mega_no_lights_env_only():
     """e_cnt=0: no NEE segments, env-only illumination — the static
     light loops must vanish cleanly."""
@@ -140,6 +147,7 @@ def test_mega_no_lights_env_only():
 
 
 @pytest.mark.parametrize("tile", [128, 512])
+@pytest.mark.slow
 def test_mega_tile_width_bit_exact(tile):
     """cfg.mega_tile only changes the lane tiling (the sublane-packing
     perf lever, tools/subprobe.py / ops/pallas/common.py); the render
@@ -155,6 +163,7 @@ def test_mega_tile_width_bit_exact(tile):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_mega_stream_bit_exact_vs_resident():
     """mega_force_stream (HBM coefficients through the DMA double
     buffer + chunked compaction + DMA'd SSS pick tables) is a pure
@@ -173,6 +182,7 @@ def test_mega_stream_bit_exact_vs_resident():
     np.testing.assert_array_equal(b, a)
 
 
+@pytest.mark.slow
 def test_mega_stream_refract_bit_exact():
     """The streamed in-kernel refraction march (nested sweeps under
     stream=True) matches the resident one bit-for-bit."""
@@ -190,6 +200,7 @@ def test_mega_stream_refract_bit_exact():
     np.testing.assert_array_equal(b, a)
 
 
+@pytest.mark.slow
 def test_mega_stream_lcap_overflow_dense_fallback():
     """l_cap overflow under stream: the dense all-cluster streamed
     sweep must produce the same film as the capped candidate path."""

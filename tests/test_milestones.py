@@ -7,6 +7,7 @@ go through bench.py / the render CLI on TPU hardware.
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -87,6 +88,7 @@ def test_config3_bvh_100k_tris():
     np.testing.assert_allclose(tb[hb], tc[hb], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_config4_wavefront_pipeline_smoke():
     """Config 4 (scaled): the full wavefront pipeline end-to-end through
     tonemap on the jade scene — finite, displayable output."""
@@ -99,6 +101,7 @@ def test_config4_wavefront_pipeline_smoke():
     assert img.max() > 0
 
 
+@pytest.mark.slow
 def test_config5_multichip_tiled_film_with_tonemap():
     """Config 5: film sharded over the mesh, psum spp accumulation, then
     the pass2/pass3-equivalent post over the gathered film."""

@@ -30,6 +30,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_scan_path_clamps_last_pass(scene):
     # spp=6 on a 2-wide spp axis with spp_batch=2 (per_pass 4) previously
     # rendered 8 samples; the last pass must clamp to exactly cfg.spp
@@ -47,6 +48,7 @@ def test_scan_path_clamps_last_pass(scene):
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)],
                          ids=["tile8", "tile4spp2", "tile2spp4", "spp8"])
+@pytest.mark.slow
 def test_sharded_matches_single_device(scene, mesh_shape):
     ds, sd = scene
     cfg = _cfg()
@@ -66,6 +68,7 @@ def test_sharded_matches_single_device(scene, mesh_shape):
 
 
 @pytest.mark.parametrize("engine", ["scan", "pool"])
+@pytest.mark.slow
 def test_sharded_production_sweep_kernel(scene, engine):
     """shard_map x pallas_call composition: the PRODUCTION traversal
     (Pallas cluster sweep, interpret mode on CPU) must run and match the
@@ -130,6 +133,7 @@ def test_gather_film_all_gather(scene):
     assert len(full.sharding.device_set) == 8  # replicated on all
 
 
+@pytest.mark.slow
 def test_sharded_mega_engine_matches_single(scene):
     """The megakernel engine over the mesh (per-shard whole-render
     kernels on dynamic pixel windows, spp psum) equals the single-device

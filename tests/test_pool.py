@@ -1,6 +1,7 @@
 """Persistent ray-pool engine: equivalence with the scan engine."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from jaderaytracerendering_tpu.integrator import pool, render as R
@@ -27,6 +28,7 @@ def test_pool_equals_scan():
     np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_pool_small_pool_size():
     # pool smaller than the sample count forces many respawn rounds
     ds, sd, cfg = _setup(rays_per_launch=16)
@@ -55,6 +57,7 @@ def test_render_film_dispatches_to_pool():
     assert np.isfinite(np.asarray(a.accum)).all()
 
 
+@pytest.mark.slow
 def test_pool_film_tiling_matches_untiled(monkeypatch):
     # large-film path: shrink FILM_TILE so an 8x8 film needs tiling; 24
     # doesn't divide 64 so the last tile exercises the wrap-pad masking
@@ -68,6 +71,7 @@ def test_pool_film_tiling_matches_untiled(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pool_distributed_matches_single():
     from jaderaytracerendering_tpu.parallel import sharding
 
@@ -82,6 +86,7 @@ def test_pool_distributed_matches_single():
         )
 
 
+@pytest.mark.slow
 def test_pool_spawn_kernel_sweep_matches_scan():
     """The production TPU route — pool engine, Pallas sweep traversal,
     Pallas spawn front (cfg.spawn_kernel) — vs the scan engine.
@@ -98,10 +103,10 @@ def test_pool_spawn_kernel_sweep_matches_scan():
     np.testing.assert_allclose(b, a, atol=1e-4 * scale, rtol=1e-3)
 
 
-import pytest
 
 
 @pytest.mark.parametrize("rounds", [1, 2])
+@pytest.mark.slow
 def test_pool_spawn_kernel_off_matches_on(rounds):
     """spawn_kernel=False (XLA spawn chain) and True (Pallas spawn front)
     produce the same film (up to FMA-contraction ulps, which the 8x8
