@@ -31,3 +31,25 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: mega/stream kernel compiles at 100k+
+# scene scale take minutes through the axon tunnel and the remote
+# compiler intermittently wedges on fresh compiles (docs/PERF.md) —
+# caching serialized executables across processes removes the repeat
+# risk entirely. Opt out with JADE_COMPILE_CACHE=0. Harmless no-op on
+# backends that don't support executable serialization.
+import os as _os
+
+if _os.environ.get("JADE_COMPILE_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JADE_COMPILE_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/jade_xla")))
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                           1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+del _os

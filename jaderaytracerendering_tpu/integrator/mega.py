@@ -50,7 +50,7 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
     tmq = int(getattr(cfg, "mega_tile", megak.TM) or megak.TM)
     kp = int(sd.cluster_coef.shape[2]) // 4
     cp = int(sd.cluster_planes.shape[1])
-    l_cap = 64 if cp <= 512 else 256
+    l_cap = 128 if cp <= 512 else 256
     planes = (sd.cluster_planes.nbytes + sd.cluster_begin_col.nbytes
               + sd.cluster_chunk_planes.nbytes)
     scratch = (48 * tmq * 4 + 8 * tmq * 4          # fst/mst state
@@ -98,10 +98,12 @@ def kernel_opts(sd, cfg: RenderConfig) -> dict:
     m = mode(sd, cfg)
     assert m is not None, "scene exceeds the mega budgets"
     c_pad = int(sd.cluster_planes.shape[1])
-    # candidate cap scales with cluster count: demo-scale tiles union
-    # <=64 clusters; 100k+/streamed scenes see bounce-tile unions past
-    # that, and overflow falls back to a dense all-cluster sweep
-    l_cap = 64 if c_pad <= 512 else 256
+    # candidate cap scales with cluster count; overflow falls back to a
+    # dense all-cluster sweep. Measured tile unions (in-kernel stats,
+    # r4): demo max 95 (64 caused 110 dense fallbacks/launch — wall-
+    # neutral but wasteful), 100k max 152, 400k max 211; 128/256 cover
+    # all three with zero overflows
+    l_cap = 128 if c_pad <= 512 else 256
     if m == "resident":
         return {"stream": False, "chunked": False, "l_cap": l_cap,
                 "triu": sd.cluster_triu}

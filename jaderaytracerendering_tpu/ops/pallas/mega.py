@@ -721,6 +721,11 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     buf_ref = next(ri) if stream else None
     dsem = next(ri) if stream else None
     rsem = next(ri) if stream else None
+    # sweep-stats cells (always last): row 0 max n_act, 1 overflow
+    # events (n_act > l_cap -> dense all-cluster fallback), 2 total
+    # clusters visited — surfaced on out rows 5-7 for tuning l_cap
+    # against real tile unions ([8, 1] so scalar reads index sublanes)
+    stat_ref = next(ri)
 
     _base_sweep = functools.partial(
         _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
@@ -735,6 +740,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         if debug == "notrace":
             gate = jnp.float32(0) > 0.0
         r = _base_sweep(*a, gate=gate, **k)
+        n = cnt_ref[0:1, 0:1]
+        stat_ref[0:1, 0:1] = jnp.maximum(stat_ref[0:1, 0:1], n)
+        stat_ref[1:2, 0:1] = stat_ref[1:2, 0:1] + (n > l_cap).astype(
+            jnp.int32)
+        stat_ref[2:3, 0:1] = stat_ref[2:3, 0:1] + jnp.where(
+            n > l_cap, n_clusters, n)
         if debug == "2xsweep":
             # idempotent replay: the whole sweep (slab + compaction +
             # visits) re-runs on identical inputs and reproduces its
@@ -782,6 +793,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # contents can reach (masked) selects — zero it once so skipped
     # gathers never surface uninitialized-VMEM NaN bit patterns
     grow_ref[:] = jnp.zeros_like(grow_ref[:])
+    stat_ref[:] = jnp.zeros((8, 1), jnp.int32)
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
     # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
     # 4 smp (in-flight sample id), 5-7 spare
@@ -1111,8 +1123,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             active3.astype(jnp.int32), hit_idx3, b3, ns2, smp_n,
             zi, zi, zi])
         out_ref[:] = jnp.concatenate([
-            film.x, film.y, film.z, n_ray,
-            O[4:5] + 1.0, zrow, zrow, zrow])
+            film.x, film.y, film.z, n_ray, O[4:5] + 1.0,
+            zrow + stat_ref[0:1, 0:1].astype(jnp.float32),
+            zrow + stat_ref[1:2, 0:1].astype(jnp.float32),
+            zrow + stat_ref[2:3, 0:1].astype(jnp.float32)])
 
         cont = jnp.sum((active3 | (pix_ok & (ns2 < spp))).astype(
             jnp.float32)) > 0.0
@@ -1182,6 +1196,7 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
             pltpu.SemaphoreType.DMA((2,)),             # coef DMA sems
             pltpu.SemaphoreType.DMA,                   # row-gather sem
         ]
+    scratch.append(pltpu.VMEM((8, 1), jnp.int32))      # sweep stats
     out = pl.pallas_call(
         kern,
         grid=(mp // tmq,),

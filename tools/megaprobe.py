@@ -94,8 +94,13 @@ def main():
                 has_refract=sd.has_refract, gather=cfg.mega_gather,
                 interpret=jax.default_backend() == "cpu", _debug=dbg,
                 **mopts)
+            tmq = int(getattr(cfg, "mega_tile", 256) or 256)
+            pt = out[5:8].reshape(3, -1, tmq)[:, :, 0]  # per-tile stats
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),
-                              jnp.sum(out[3]), jnp.sum(out[0:3])])
+                              jnp.sum(out[3]), jnp.sum(out[0:3]),
+                              jnp.max(pt[0]),       # max n_act any tile
+                              jnp.sum(pt[1]),       # overflow events
+                              jnp.sum(pt[2])])      # total visits
 
         return bench_call
 
@@ -115,10 +120,12 @@ def main():
             stats = np.asarray(call(base))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        iters, _, total_rays, checksum = stats
+        iters, _, total_rays, checksum = stats[:4]
         print(f"{dbg:9s} gather={args.gather:5s} wall={best*1e3:8.2f} ms  "
               f"iters={iters:6.0f}  rays={total_rays/1e6:7.2f}M  "
               f"-> {total_rays/best/1e6:6.2f} Mrays/s  (chk {checksum:.3e})")
+        print(f"          sweep stats: max_n_act={stats[4]:.0f}  "
+              f"overflow_events={stats[5]:.0f}  visits={stats[6]/1e3:.1f}k")
 
 
 if __name__ == "__main__":
