@@ -40,6 +40,8 @@ def main() -> None:
                     choices=["loop", "mxu", "mxuloop", "auto", "block", "take"])
     ap.add_argument("--mega-tile", type=int, default=256,
                     help="megakernel lanes per pixel tile (TM)")
+    ap.add_argument("--spawn-rounds", type=int, default=0,
+                    help="pool: primary-spawn attempts per loop (0 = cfg default)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--small", action="store_true", help="tiny smoke config")
     ap.add_argument("--all", action="store_true",
@@ -247,6 +249,8 @@ def _measure(args) -> float:
         engine=args.engine, mega_gather=getattr(args, "mega_gather", "auto"),
         mega_tile=getattr(args, "mega_tile", 256),
     )
+    if getattr(args, "spawn_rounds", 0):
+        cfg = cfg.replace(spawn_rounds=args.spawn_rounds)
 
     if args.engine == "mega":
         from jaderaytracerendering_tpu.integrator import mega as mega_mod

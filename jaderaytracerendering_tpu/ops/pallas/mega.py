@@ -400,7 +400,7 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
            ids_ref, cnt_ref, btw_ref, bw_ref, *, kp, cp, n_clusters,
            l_cap, anyhit: bool, gate, chunkp_ref=None, cstat_ref=None,
            buf_ref=None, dsem=None, chunked: bool = False,
-           stream: bool = False, visit_reps: int = 1):
+           stream: bool = False, visit_reps: int = 1, stat_ref=None):
     """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
     [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
 
@@ -480,6 +480,9 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
         chits = slab(chunkp_ref[:], conservative_nan=True)  # [TM, NCp]
         cact = jnp.max(chits.astype(jnp.int32), axis=0, keepdims=True)
         cstat_ref[:] = jnp.transpose(cact, (1, 0))
+        if stat_ref is not None:  # row 3: active chunks (prep cost unit)
+            stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + jnp.where(
+                gate, jnp.sum(cact, axis=1, keepdims=True), 0)
         ids_ref[:] = jnp.zeros((l_cap, 1), jnp.int32)
         cnt_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
         l_iota_c = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 128), 0)
@@ -734,7 +737,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         n_clusters=n_clusters, l_cap=l_cap, chunkp_ref=chunkp_ref,
         cstat_ref=cstat_ref, buf_ref=buf_ref, dsem=dsem,
         chunked=chunked, stream=stream,
-        visit_reps=2 if debug == "2xvisit" else 1)
+        visit_reps=2 if debug == "2xvisit" else 1, stat_ref=stat_ref)
 
     def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
         if debug == "notrace":
@@ -1122,10 +1125,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         mst_ref[:] = jnp.concatenate([
             active3.astype(jnp.int32), hit_idx3, b3, ns2, smp_n,
             zi, zi, zi])
+        # rows 5-7: max tile union | active-chunk count (chunked mode;
+        # l_cap overflow is visible as row5 > l_cap) | total visits
         out_ref[:] = jnp.concatenate([
             film.x, film.y, film.z, n_ray, O[4:5] + 1.0,
             zrow + stat_ref[0:1, 0:1].astype(jnp.float32),
-            zrow + stat_ref[1:2, 0:1].astype(jnp.float32),
+            zrow + stat_ref[3:4, 0:1].astype(jnp.float32),
             zrow + stat_ref[2:3, 0:1].astype(jnp.float32)])
 
         cont = jnp.sum((active3 | (pix_ok & (ns2 < spp))).astype(

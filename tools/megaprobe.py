@@ -99,7 +99,7 @@ def main():
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),
                               jnp.sum(out[3]), jnp.sum(out[0:3]),
                               jnp.max(pt[0]),       # max n_act any tile
-                              jnp.sum(pt[1]),       # overflow events
+                              jnp.sum(pt[1]),       # active chunks
                               jnp.sum(pt[2])])      # total visits
 
         return bench_call
@@ -125,7 +125,8 @@ def main():
               f"iters={iters:6.0f}  rays={total_rays/1e6:7.2f}M  "
               f"-> {total_rays/best/1e6:6.2f} Mrays/s  (chk {checksum:.3e})")
         print(f"          sweep stats: max_n_act={stats[4]:.0f}  "
-              f"overflow_events={stats[5]:.0f}  visits={stats[6]/1e3:.1f}k")
+              f"active_chunks={stats[5]/1e3:.1f}k  "
+              f"visits={stats[6]/1e3:.1f}k")
 
 
 if __name__ == "__main__":
