@@ -53,9 +53,11 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
     l_cap = 128 if cp <= 512 else 256
     planes = (sd.cluster_planes.nbytes + sd.cluster_begin_col.nbytes
               + sd.cluster_chunk_planes.nbytes)
+    sseg = ((sd.n_emit + 2)
+            if getattr(cfg, "mega_stack_segments", True) else 1)
     scratch = (48 * tmq * 4 + 8 * tmq * 4          # fst/mst state
                + l_cap * 4 + 4                     # candidate ids + count
-               + 2 * tmq * kp * 4                  # btw/bw wide
+               + 2 * sseg * tmq * kp * 4           # btw/bw wide (stacked)
                + tmq * 8 * 4 + tmq * 128 * 4)      # gather ids + rows
     if stream:
         scratch += 2 * 16 * 4 * kp * 4             # coef double buffer

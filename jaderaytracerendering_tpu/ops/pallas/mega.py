@@ -471,18 +471,19 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
                 axis=1, keepdims=True).astype(jnp.int32)
     else:
-        # level 1: conservative chunk prefilter; level 2: per-active-
-        # chunk slab + fixed [128, 128]-triu compaction with a running
-        # offset (cluster_sweep_stream._stream_kernel form; slots past
-        # l_cap fall outside l_iota and simply don't select — overflow
-        # is handled by the dense visit fallback below)
+        # per-128-cluster-chunk slab + fixed [128, 128]-triu compaction
+        # with a running offset (cluster_sweep_stream._stream_kernel
+        # form; slots past l_cap fall outside l_iota and simply don't
+        # select — overflow is handled by the dense visit fallback
+        # below). The compaction dot + serialized scalar bookkeeping
+        # are gated on the chunk holding a CANDIDATE cluster: the old
+        # conservative chunk-AABB prefilter filtered nothing on
+        # divergent bounce tiles (r4 stats: 36/36 chunks AABB-active
+        # per sweep at 400k while only a handful hold candidates —
+        # 1.23M activations for 180k visits), so the [TM, NCp]
+        # prefilter slab is gone and the per-chunk slab runs
+        # unconditionally (it ran for ~every chunk anyway).
         n_chunks = cp // 128
-        chits = slab(chunkp_ref[:], conservative_nan=True)  # [TM, NCp]
-        cact = jnp.max(chits.astype(jnp.int32), axis=0, keepdims=True)
-        cstat_ref[:] = jnp.transpose(cact, (1, 0))
-        if stat_ref is not None:  # row 3: active chunks (prep cost unit)
-            stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + jnp.where(
-                gate, jnp.sum(cact, axis=1, keepdims=True), 0)
         ids_ref[:] = jnp.zeros((l_cap, 1), jnp.int32)
         cnt_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
         l_iota_c = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 128), 0)
@@ -490,15 +491,20 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
         @pl.when(gate)
         def _():
             for j in range(n_chunks):  # static: <=~40 chunks unrolled
+                hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
+                cid_l = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 128), 1) + j * 128)
+                act = (jnp.max(hits.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                       * (cid_l < n_clusters).astype(jnp.float32))
+                ncand = jnp.sum(act, axis=1, keepdims=True)
+                cstat_ref[j:j + 1, 0:1] = ncand.astype(jnp.int32)
+                if stat_ref is not None:  # row 3: compaction dot count
+                    stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + (
+                        ncand > 0).astype(jnp.int32)
 
                 @pl.when(cstat_ref[j, 0] > 0)
-                def _(j=j):
-                    hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
-                    cid_l = (jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 128), 1) + j * 128)
-                    act = (jnp.max(hits.astype(jnp.float32), axis=0,
-                                   keepdims=True)
-                           * (cid_l < n_clusters).astype(jnp.float32))
+                def _(j=j, act=act, cid_l=cid_l, ncand=ncand):
                     pos = jnp.dot(act, triu_ref[:],
                                   preferred_element_type=jnp.float32)
                     off = cnt_ref[0, 0]
@@ -508,8 +514,8 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                         jnp.where(sel, (cid_l + 1).astype(jnp.float32),
                                   0.0),
                         axis=1, keepdims=True).astype(jnp.int32)
-                    cnt_ref[0:1, 0:1] = cnt_ref[0:1, 0:1] + jnp.sum(
-                        act, axis=1, keepdims=True).astype(jnp.int32)
+                    cnt_ref[0:1, 0:1] = (cnt_ref[0:1, 0:1]
+                                         + ncand.astype(jnp.int32))
 
         n_act = cnt_ref[0, 0]
 
@@ -960,18 +966,55 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # segment traces (light segs -> HDR any-hit -> continuation)
         any_act = jnp.sum(active.astype(jnp.float32)) > 0.0
         nee_o = vwhere(f.needs_nee, f.nee_src, 0.0, jnp)
-        l_oks = []
-        for i in range(e_cnt):
-            sf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.ldirs[i], 0.0,
-                                           jnp))
-            lbt, lbi = sweep(sf, f.nee_excl, anyhit=False, gate=any_act)
-            l_oks.append(f.l_gates[i] & (lbt < INF) & (lbi == l_eidx[i]))
-        hf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.hdir, 0.0, jnp))
-        hbt, _ = sweep(hf, f.nee_excl, anyhit=True, gate=any_act)
-        h_hit = hbt < INF
         cf, _ = _feats16(vwhere(f.alive, f.cont_src, 0.0, jnp),
                          vwhere(f.alive, f.cdir, 0.0, jnp))
-        c_bt, c_bi = sweep(cf, f.cont_excl, anyhit=False, gate=any_act)
+        if getattr(cfg, "mega_stack_segments", True):
+            # ONE stacked sweep for all E+2 segments: they share their
+            # origins (this bounce's hit points), so the candidate
+            # compaction — 35% of the 400k wall as E+2 separate calls
+            # (PERF.md round-4) — runs once over ~the same cluster set,
+            # and each coefficient fetch serves every segment. anyhit
+            # epilogues degrade to closest-hit (same booleans).
+            segs, exs = [], []
+            for i in range(e_cnt):
+                sf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.ldirs[i],
+                                               0.0, jnp))
+                segs.append(sf)
+                exs.append(f.nee_excl)
+            hf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.hdir, 0.0,
+                                           jnp))
+            segs.append(hf)
+            exs.append(f.nee_excl)
+            segs.append(cf)
+            exs.append(f.cont_excl)
+            sbt, sbi = sweep(jnp.concatenate(segs, axis=1),
+                             jnp.concatenate(exs, axis=1),
+                             anyhit=False, gate=any_act)
+            l_oks = []
+            for i in range(e_cnt):
+                lbt = sbt[:, i * tm:(i + 1) * tm]
+                lbi = sbi[:, i * tm:(i + 1) * tm]
+                l_oks.append(f.l_gates[i] & (lbt < INF)
+                             & (lbi == l_eidx[i]))
+            hbt = sbt[:, e_cnt * tm:(e_cnt + 1) * tm]
+            h_hit = hbt < INF
+            c_bt = sbt[:, (e_cnt + 1) * tm:(e_cnt + 2) * tm]
+            c_bi = sbi[:, (e_cnt + 1) * tm:(e_cnt + 2) * tm]
+        else:
+            l_oks = []
+            for i in range(e_cnt):
+                sf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.ldirs[i],
+                                               0.0, jnp))
+                lbt, lbi = sweep(sf, f.nee_excl, anyhit=False,
+                                 gate=any_act)
+                l_oks.append(f.l_gates[i] & (lbt < INF)
+                             & (lbi == l_eidx[i]))
+            hf, _ = _feats16(nee_o, vwhere(f.needs_nee, f.hdir, 0.0,
+                                           jnp))
+            hbt, _ = sweep(hf, f.nee_excl, anyhit=True, gate=any_act)
+            h_hit = hbt < INF
+            c_bt, c_bi = sweep(cf, f.cont_excl, anyhit=False,
+                               gate=any_act)
         c_hit = c_bt < INF
         c_idx = jnp.where(c_hit, c_bi, 0)
 
@@ -985,16 +1028,24 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # shadow ray escapes); sky_c feeds only the mirror/direct-
         # refraction sky-on-miss break (`(is_mirror|is_dirref) &
         # ~c_hit`) — on mirror-free scenes the sky_c loop never runs
-        g_nee = jnp.sum((f.needs_nee & ~h_hit).astype(jnp.float32)) > 0.0
-        g_skyc = jnp.sum(((f.is_mirror | f.is_dirref)
-                          & ~c_hit).astype(jnp.float32)) > 0.0
         m_nee = f.needs_nee & ~h_hit
         m_skyc = (f.is_mirror | f.is_dirref) & ~c_hit
-        sky = _env_sample(env_ref, idsl_ref, grow_ref, hdir_u, env_shape,
-                          cfg.hdr_clamp, gm_env, gate=g_nee, mask=m_nee)
-        sky_c = _env_sample(env_ref, idsl_ref, grow_ref, cdir_u, env_shape,
-                            cfg.hdr_clamp, gm_env, gate=g_skyc,
-                            mask=m_skyc)
+        # the two consumer masks are DISJOINT (needs_nee excludes the
+        # mirror/dirref branches), so ONE gather serves both: per lane,
+        # fetch the texel of whichever direction that lane consumes.
+        # resolve_tail vwhere-masks sky to m_nee and sky_c to m_skyc,
+        # so each lane only ever reads its own fetched value —
+        # bit-exact, and the scattered env row loop runs once per
+        # bounce instead of twice.
+        m_env = m_nee | m_skyc
+        g_env = jnp.sum(m_env.astype(jnp.float32)) > 0.0
+        env_dir = V3(jnp.where(m_nee, hdir_u.x, cdir_u.x),
+                     jnp.where(m_nee, hdir_u.y, cdir_u.y),
+                     jnp.where(m_nee, hdir_u.z, cdir_u.z))
+        env_val = _env_sample(env_ref, idsl_ref, grow_ref, env_dir,
+                              env_shape, cfg.hdr_clamp, gm_env,
+                              gate=g_env, mask=m_env)
+        sky = sky_c = env_val
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
         g_chit = jnp.sum(c_hit.astype(jnp.float32)) > 0.0
@@ -1183,13 +1234,17 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         in_specs[7] = anyspec                     # sd_coef
         in_specs[11] = anyspec                    # buk
         in_specs[12] = anyspec                    # win
+    # stacked-segment sweeps trace all E+2 bounce segments in one call
+    # of (e_cnt+2)*tmq lanes — btw/bw must cover the widest call
+    sseg = ((int(e_cnt) + 2)
+            if getattr(cfg, "mega_stack_segments", True) else 1)
     scratch = [
         pltpu.VMEM((48, tmq), jnp.float32),   # fst state
         pltpu.VMEM((8, tmq), jnp.int32),      # mst state
         pltpu.VMEM((l_cap, 1), jnp.int32),    # sweep candidate ids
         pltpu.VMEM((1, 1), jnp.int32),        # sweep count
-        pltpu.VMEM((tmq, kp), jnp.float32),   # best-t wide
-        pltpu.VMEM((tmq, kp), jnp.int32),     # winner begin wide
+        pltpu.VMEM((sseg * tmq, kp), jnp.float32),  # best-t wide
+        pltpu.VMEM((sseg * tmq, kp), jnp.int32),    # winner begin wide
         pltpu.VMEM((tmq, 8), jnp.int32),      # gather ids/slots
         pltpu.VMEM((tmq, 128), jnp.float32),  # gather rows out
     ]

@@ -61,6 +61,14 @@ class RenderConfig:
     # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
     # vector gather is shape-preserving take_along_axis within one
     # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
+    mega_stack_segments: bool = False  # megakernel: trace the bounce's
+    # E+2 segments (light NEE + HDR visibility + continuation) in ONE
+    # stacked sweep call instead of E+2 calls. MEASURED LOSS everywhere
+    # (r4 hardware A/B: default 13.5 vs 14.5, 100k 9.4 vs 10.2, depth16
+    # 10.9 vs 11.8, 400k wash): the union candidate list makes every
+    # visit pay (E+2)x the lane work, which eats the prep savings.
+    # Kept config-gated for scenes with many lights (prep scales with
+    # E+2 calls; visit work doesn't).
     mega_tile: int = 256              # megakernel lanes per pixel tile
     # (TM). Mosaic packs a [1, N] f32 row into sublanes at 128-lane
     # granularity, so per-lane VPU throughput rises with TM: the
