@@ -471,51 +471,62 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
                 axis=1, keepdims=True).astype(jnp.int32)
     else:
-        # per-128-cluster-chunk slab + fixed [128, 128]-triu compaction
-        # with a running offset (cluster_sweep_stream._stream_kernel
-        # form; slots past l_cap fall outside l_iota and simply don't
-        # select — overflow is handled by the dense visit fallback
-        # below). The compaction dot + serialized scalar bookkeeping
-        # are gated on the chunk holding a CANDIDATE cluster: the old
-        # conservative chunk-AABB prefilter filtered nothing on
-        # divergent bounce tiles (r4 stats: 36/36 chunks AABB-active
-        # per sweep at 400k while only a handful hold candidates —
-        # 1.23M activations for 180k visits), so the [TM, NCp]
-        # prefilter slab is gone and the per-chunk slab runs
-        # unconditionally (it ran for ~every chunk anyway).
+        # level 1: conservative chunk-AABB prefilter (skips the chunk's
+        # [TM, 128] slab — removing it measured 902 vs 709 ms at 400k,
+        # so it DOES skip real work even though 36/36 chunks pass on
+        # the worst divergent sweeps); level 2: per-active-chunk slab +
+        # fixed [128, 128]-triu compaction with a running offset
+        # (cluster_sweep_stream._stream_kernel form; slots past l_cap
+        # fall outside l_iota and simply don't select — overflow is
+        # handled by the dense visit fallback below). The compaction
+        # dot + serialized scalar bookkeeping additionally gate on the
+        # chunk holding a CANDIDATE cluster (r4 stats: 1.23M AABB
+        # activations for 180k visits — most activated chunks
+        # contribute nothing).
         n_chunks = cp // 128
+        assert stat_ref is not None, "chunked sweep needs stat_ref"
         ids_ref[:] = jnp.zeros((l_cap, 1), jnp.int32)
         cnt_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
         l_iota_c = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 128), 0)
 
         @pl.when(gate)
         def _():
+            chits = slab(chunkp_ref[:], conservative_nan=True)
+            cact = jnp.max(chits.astype(jnp.int32), axis=0,
+                           keepdims=True)                  # [1, NCp]
+            cstat_ref[:] = jnp.transpose(cact, (1, 0))     # [NCp, 1]
             for j in range(n_chunks):  # static: <=~40 chunks unrolled
-                hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
-                cid_l = (jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 128), 1) + j * 128)
-                act = (jnp.max(hits.astype(jnp.float32), axis=0,
-                               keepdims=True)
-                       * (cid_l < n_clusters).astype(jnp.float32))
-                ncand = jnp.sum(act, axis=1, keepdims=True)
-                cstat_ref[j:j + 1, 0:1] = ncand.astype(jnp.int32)
-                if stat_ref is not None:  # row 3: compaction dot count
-                    stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + (
-                        ncand > 0).astype(jnp.int32)
 
                 @pl.when(cstat_ref[j, 0] > 0)
-                def _(j=j, act=act, cid_l=cid_l, ncand=ncand):
-                    pos = jnp.dot(act, triu_ref[:],
-                                  preferred_element_type=jnp.float32)
-                    off = cnt_ref[0, 0]
-                    slot = pos.astype(jnp.int32) + off - 1   # [1, 128]
-                    sel = (l_iota_c == slot) & (act > 0.0)
-                    ids_ref[:] = ids_ref[:] + jnp.sum(
-                        jnp.where(sel, (cid_l + 1).astype(jnp.float32),
-                                  0.0),
-                        axis=1, keepdims=True).astype(jnp.int32)
-                    cnt_ref[0:1, 0:1] = (cnt_ref[0:1, 0:1]
-                                         + ncand.astype(jnp.int32))
+                def _(j=j):
+                    hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
+                    cid_l = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 128), 1) + j * 128)
+                    act = (jnp.max(hits.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+                           * (cid_l < n_clusters).astype(jnp.float32))
+                    ncand = jnp.sum(act, axis=1, keepdims=True)
+                    # ncand is lane-dim [1,1]; stash it in the spare
+                    # stat row (stat_ref is [8,1] — sublane-indexable)
+                    # so the level-2 gate can read it as a scalar
+                    stat_ref[4:5, 0:1] = ncand.astype(jnp.int32)
+                    stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + (
+                        ncand > 0).astype(jnp.int32)  # row 3: dots run
+
+                    @pl.when(stat_ref[4, 0] > 0)
+                    def _(act=act, cid_l=cid_l, ncand=ncand):
+                        pos = jnp.dot(act, triu_ref[:],
+                                      preferred_element_type=jnp.float32)
+                        off = cnt_ref[0, 0]
+                        slot = pos.astype(jnp.int32) + off - 1  # [1,128]
+                        sel = (l_iota_c == slot) & (act > 0.0)
+                        ids_ref[:] = ids_ref[:] + jnp.sum(
+                            jnp.where(sel,
+                                      (cid_l + 1).astype(jnp.float32),
+                                      0.0),
+                            axis=1, keepdims=True).astype(jnp.int32)
+                        cnt_ref[0:1, 0:1] = (cnt_ref[0:1, 0:1]
+                                             + ncand.astype(jnp.int32))
 
         n_act = cnt_ref[0, 0]
 
