@@ -430,13 +430,14 @@ def _pool_render_impl(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
     return film, cnt[1], n_rays, cnt[2]
 
 
-# NOTE on scene-arg packing (scene/packing.py, tools/packprobe.py):
-# packing SceneData's 49 arrays into one blob per dtype recovers ~0.4 ms
-# per bench call on TPU — the axon per-argument dispatch tax on jit call
-# ARGUMENTS is ~zero (tools/argtax.py: flat 1..48 args). The round-3
-# fixed-cost attribution applies to while-loop CARRY buffers only (those
-# stay packed, see the 5-buffer carry above). The packed pool entries
-# were wired, measured neutral (15.32 vs 15.35 Mrays/s), and unwired.
+# NOTE on scene-arg packing (experiment DELETED round 4; history in
+# docs/PERF.md's rejection log and git): packing SceneData's 49 arrays
+# into one blob per dtype recovers only ~0.4 ms per bench call on TPU —
+# the axon per-argument dispatch tax on jit call ARGUMENTS is ~zero
+# (tools/argtax.py: flat 1..48 args). The round-3 fixed-cost attribution
+# applies to while-loop CARRY buffers only (those stay packed, see the
+# 5-buffer carry above). Wired, measured neutral (15.32 vs 15.35
+# Mrays/s), unwired, removed.
 @functools.partial(jax.jit, static_argnames=("cfg", "pool_m", "max_iters"))
 def _pool_render(sd, eye, cam_rot, total_samples, cfg: RenderConfig,
                  pool_m: int, sample_base, max_iters: int = 1_000_000):
