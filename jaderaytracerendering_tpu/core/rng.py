@@ -87,6 +87,49 @@ def uniform(xp, pixel_id, sample_id, bounce, site, seed=0):
         * xp.float32(1.0 / 16777216.0)
 
 
+def uniform_sites(xp, pixel_id, sample_id, bounce, sites, seed=0):
+    """Batched ``uniform``: all S static ``sites`` in ONE [S, TM] hash.
+
+    Bit-identical to ``[uniform(xp, pix, smp, b, s, seed) for s in
+    sites]`` (tests/test_core.py pins this): the (pixel, sample) mix +
+    first pcg_hash and the bounce/seed terms are site-independent, so
+    they compute once on the [1, TM] row; only the final pcg_hash runs
+    on the stacked [S, TM] block — which Mosaic packs S rows per vreg
+    group where S separate [1, TM] chains would each occupy whole
+    sublane-sparse vregs (docs/PERF.md sublane-packing microprobe).
+    Returns [S, TM] f32; callers slice rows."""
+    import contextlib
+
+    import numpy as _np
+
+    guard = (_np.errstate(over="ignore") if xp is _np
+             else contextlib.nullcontext())
+    with guard:
+        h = _u32(pixel_id, xp) * _u32(_K_PIXEL, xp)
+        h = h + _u32(sample_id, xp) * _u32(_K_SAMPLE, xp)
+        h = pcg_hash(h, xp)
+        h = h + _u32(bounce, xp) * _u32(_K_BOUNCE, xp)
+        h = h + _u32(seed, xp) * _u32(_K_SEED, xp)
+        if xp is _np:
+            site_col = _np.array([int(s) for s in sites],
+                                 _np.uint32).reshape(len(sites), 1)
+        else:
+            # Pallas kernels reject captured array constants — build
+            # the [S, 1] site column from an iota + scalar where-chain
+            # (S is small and static; this unrolls to S selects)
+            import jax
+
+            io = jax.lax.broadcasted_iota(xp.int32, (len(sites), 1), 0)
+            site_col = None
+            for i, s in enumerate(sites):
+                term = xp.where(io == i, int(s), 0)
+                site_col = term if site_col is None else site_col + term
+            site_col = site_col.astype(xp.uint32)
+        bits = pcg_hash(h + site_col * _u32(_K_SITE, xp), xp)
+        return (bits >> _u32(8, xp)).astype(xp.int32).astype(xp.float32) \
+            * xp.float32(1.0 / 16777216.0)
+
+
 def wang_hash(seed, xp):
     """The reference's GLSL hash, verbatim (fshader_render.fsh:87-94).
 

@@ -808,6 +808,29 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         gm_cdf = gm_cdfrow = "zero"
     gm_row = "zero" if debug == "norows" else gm_coh
 
+    # '2xgather' idempotent replay (PERF.md round-4 method): every
+    # gather helper runs twice on identical inputs — the scratch-ref
+    # writes make the duplicate CSE-proof and the second run reproduces
+    # the first bit-exactly, so wall(2xgather) - wall(full) is the true
+    # gather cost under UNCHANGED control flow (the 'nogather' zero
+    # stub kills hits and changes the ray mix, which mis-attributes)
+    _g_reps = 2 if debug == "2xgather" else 1
+
+    def rows_fetchG(*a, **k):
+        for _ in range(_g_reps - 1):
+            _rows_fetch(*a, **k)
+        return _rows_fetch(*a, **k)
+
+    def env_sampleG(*a, **k):
+        for _ in range(_g_reps - 1):
+            _env_sample(*a, **k)
+        return _env_sample(*a, **k)
+
+    def cdf_pickG(*a, **k):
+        for _ in range(_g_reps - 1):
+            _cdf_pick(*a, **k)
+        return _cdf_pick(*a, **k)
+
     # ---- init per-tile state ----
     # grow is gather scratch: with activity-gated loops its stale
     # contents can reach (masked) selects — zero it once so skipped
@@ -844,8 +867,11 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         sites = wavefront.BASE_SITES + [
             S.LIGHT_BASE + 2 * i for i in range(e_cnt)
         ] + [S.LIGHT_BASE + 2 * i + 1 for i in range(e_cnt)]
-        us = [rng.uniform(jnp, pix_u, smp_u, b1, int(s), seed)
-              for s in sites]
+        # all S draws in ONE [S, TM] batched hash (bit-identical to the
+        # per-site calls; S stacked rows pack sublanes where S separate
+        # [1, TM] chains run ~1/8-utilized vregs)
+        us_all = rng.uniform_sites(jnp, pix_u, smp_u, b1, sites, seed)
+        us = [us_all[i:i + 1] for i in range(len(sites))]
 
         if has_sss:
             obj = trow[12].astype(jnp.int32)
@@ -865,12 +891,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 active, us[0], us[1], mrow[7].astype(jnp.int32),
                 mrow[6].astype(jnp.int32), cfg, emis0, jnp)
             g_sss = jnp.sum(sss_exit0.astype(jnp.float32)) > 0.0
-            exit_tri = _cdf_pick(buk_ref, win_ref, idsl_ref, grow_ref,
+            exit_tri = cdf_pickG(buk_ref, win_ref, idsl_ref, grow_ref,
                                  us[2], nbv, basev, ota, cdf_window,
                                  gm_cdf, gate=g_sss, mask=sss_exit0,
                                  dma_sem=rsem)
             exit_tri = jnp.where(sss_exit0, exit_tri, 0)
-            et_row, em_row = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
+            et_row, em_row = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                          exit_tri, gm_cdfrow, gate=g_sss,
                                          mask=sss_exit0)
             erows = _Rows(jnp.concatenate([et_row, em_row]))
@@ -925,7 +951,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 step_ok = live & hit_m
                 rdir_u = _unit_p(rdir)
                 hp = src + rdir_u * bt_m
-                irow, rrow = _rows_fetch(
+                irow, rrow = rows_fetchG(
                     tri8_ref, mat_ref, idsl_ref, grow_ref, idx_m, gm_row,
                     gate=jnp.sum(step_ok.astype(jnp.float32)) > 0.0,
                     mask=step_ok)
@@ -1053,14 +1079,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         env_dir = V3(jnp.where(m_nee, hdir_u.x, cdir_u.x),
                      jnp.where(m_nee, hdir_u.y, cdir_u.y),
                      jnp.where(m_nee, hdir_u.z, cdir_u.z))
-        env_val = _env_sample(env_ref, idsl_ref, grow_ref, env_dir,
+        env_val = env_sampleG(env_ref, idsl_ref, grow_ref, env_dir,
                               env_shape, cfg.hdr_clamp, gm_env,
                               gate=g_env, mask=m_env)
         sky = sky_c = env_val
 
         # continuation-hit rows + resolve (bounce_resolve._kernel math)
         g_chit = jnp.sum(c_hit.astype(jnp.float32)) > 0.0
-        crow_t, cmrow_t = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
+        crow_t, cmrow_t = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
                                       gm_row, gate=g_chit, mask=c_hit)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
@@ -1111,8 +1137,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             got = fresh & pix_ok & (ns_r < spp)
             smp_g = jnp.where(got, ns_r + sample_base, smp_n)
             smp_nu = smp_g.astype(jnp.uint32)
-            u1 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_X), seed)
-            u2 = rng.uniform(jnp, pix_u, smp_nu, 0, int(S.JITTER_Y), seed)
+            uj = rng.uniform_sites(jnp, pix_u, smp_nu, 0,
+                                   [S.JITTER_X, S.JITTER_Y], seed)
+            u1, u2 = uj[0:1], uj[1:2]
             if cfg.jitter == "cuda":
                 ndc_x = -1.0 + 2.0 / width * (px + u1 - 0.5)
                 ndc_y = -1.0 + 2.0 / height * (py + u2 - 0.5)
@@ -1135,10 +1162,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             st2d = st_r[0]
             g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
             g_st = jnp.sum(st_r.astype(jnp.float32)) > 0.0
-            psky = _env_sample(env_ref, idsl_ref, grow_ref, d_u, env_shape,
+            psky = env_sampleG(env_ref, idsl_ref, grow_ref, d_u, env_shape,
                                cfg.hdr_clamp, gm_env, gate=g_miss,
                                mask=miss)
-            row0, p_mrow = _rows_fetch(tri8_ref, mat_ref, idsl_ref, grow_ref,
+            row0, p_mrow = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                        p_idx, gm_row, gate=g_st, mask=st_r)
             sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
             n_got = n_got + got.astype(jnp.float32)

@@ -76,6 +76,19 @@ class TestRng:
     def test_deterministic(self):
         assert float(rng.uniform(np, 5, 6, 7, 8)) == float(rng.uniform(np, 5, 6, 7, 8))
 
+    def test_uniform_sites_matches_per_site_calls(self):
+        # the megakernel's batched [S, TM] draw must be bit-identical
+        # to S independent uniform() calls (oracle parity depends on it)
+        pid = np.arange(512, dtype=np.uint32).reshape(1, 512)
+        sites = [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 64, 65, 66, 67]
+        for xp in (np, jnp):
+            batched = np.asarray(rng.uniform_sites(
+                xp, xp.asarray(pid), 3, 2, sites, seed=9))
+            for i, s in enumerate(sites):
+                single = np.asarray(rng.uniform(
+                    xp, xp.asarray(pid), 3, 2, int(s), seed=9))
+                np.testing.assert_array_equal(batched[i:i + 1], single)
+
 
 class TestCamera:
     def test_lookat_inverse_is_rigid_inverse(self):
