@@ -276,7 +276,7 @@ def _measure(args) -> float:
                 sd.n_clusters, ints_, cam24, ltab, lights2,
                 sd.cluster_planes, sd.cluster_begin_col, mtriu,
                 sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
-                sd.cluster_chunk_planes,
+                sd.cluster_sub16_planes,
                 cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
                 has_sss=sd.has_sss,
                 env_shape=(int(sd.env_map.shape[0]),

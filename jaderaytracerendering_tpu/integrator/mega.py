@@ -52,7 +52,7 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
     cp = int(sd.cluster_planes.shape[1])
     l_cap = 128 if cp <= 512 else 256
     planes = (sd.cluster_planes.nbytes + sd.cluster_begin_col.nbytes
-              + sd.cluster_chunk_planes.nbytes)
+              + sd.cluster_sub16_planes.nbytes)
     sseg = ((sd.n_emit + 2)
             if getattr(cfg, "mega_stack_segments", True) else 1)
     scratch = (48 * tmq * 4 + 8 * tmq * 4          # fst/mst state
@@ -61,7 +61,8 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
                + tmq * 8 * 4 + tmq * 128 * 4)      # gather ids + rows
     if stream:
         scratch += 2 * 16 * 4 * kp * 4             # coef double buffer
-        scratch += int(sd.cluster_chunk_planes.shape[1]) * 4
+        # per-chunk gate cells [NCs, 1] (render_mega's nc_pad)
+        scratch += -(-max(cp // 128, 1) // 128) * 128 * 4
     return planes + scratch
 
 
@@ -208,7 +209,7 @@ def render_film_mega(sd, cam, cfg: RenderConfig, film=None,
         out = megak.render_mega(
             sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
             sd.cluster_begin_col, triu, sd.cluster_coef,
-            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes,
             cfg=kcfg, npix=npix, e_cnt=sd.n_emit, has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
             cdf_window=16, spp=step,

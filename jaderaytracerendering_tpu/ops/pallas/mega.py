@@ -209,19 +209,30 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
 
         if mode == "dma":
             # HBM-resident table (pl.ANY): one async row DMA per
-            # consumer lane. Serial start+wait is fine here — the only
-            # 'dma' sites are the SSS pick tables, whose consumer count
-            # per tile is k/SSS_RATE-rare. Tables must be f32-packed
+            # consumer lane. Start ALL copies before waiting any: a
+            # serial start+wait chain pays the HBM round-trip latency
+            # cnt times, while the batched form overlaps the in-flight
+            # copies (destination rows are distinct lanes — idsl col 1
+            # is the compaction's strictly increasing lane list — so
+            # copies never alias). Tables must be f32-packed
             # ([R, 128], values exact in f32 — ids < 2^24): DMA copies
             # raw bytes, so dtypes must match grow_ref.
-            def onec(l, carry):
-                cp_ = pltpu.make_async_copy(
+            def cp_at(l):
+                return pltpu.make_async_copy(
                     tab_ref.at[pl.ds(idsl_ref[l, 0], 1)],
                     grow_ref.at[pl.ds(idsl_ref[l, 1], 1)],
                     dma_sem)
-                cp_.start()
-                cp_.wait()
+
+            def start1(l, carry):
+                cp_at(l).start()
                 return carry
+
+            def wait1(l, carry):
+                cp_at(l).wait()
+                return carry
+
+            jax.lax.fori_loop(0, cnt, start1, 0)
+            jax.lax.fori_loop(0, cnt, wait1, 0)
         else:
             def onec(l, carry):
                 row = tab_ref[pl.ds(idsl_ref[l, 0], 1), :]
@@ -229,7 +240,7 @@ def _take_rows(tab_ref, ids_row, idsl_ref, grow_ref, mode: str, gate=None,
                     jnp.float32)
                 return carry
 
-        jax.lax.fori_loop(0, cnt, onec, 0)
+            jax.lax.fori_loop(0, cnt, onec, 0)
         return grow_ref[:]
     idsl_ref[:, 0:1] = jnp.transpose(ids_row, (1, 0))
 
@@ -491,10 +502,34 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
 
         @pl.when(gate)
         def _():
-            chits = slab(chunkp_ref[:], conservative_nan=True)
-            cact = jnp.max(chits.astype(jnp.int32), axis=0,
-                           keepdims=True)                  # [1, NCp]
-            cstat_ref[:] = jnp.transpose(cact, (1, 0))     # [NCp, 1]
+            # sub16 prefilter: one [TM, NSp] slab over the 16-cluster
+            # union boxes (8 per chunk). Box-nesting monotonicity
+            # (cluster box inside sub box inside chunk box, slab
+            # monotone in the plane values) keeps the gate conservative,
+            # so act — and with it the candidate set and every result —
+            # is unchanged bit-for-bit vs the ungated sweep. The finer
+            # boxes gate far more chunk slabs than the chunk-union box
+            # did (r4 stats: 1.23M chunk slabs ran for only 75.6k
+            # chunks with candidates).
+            shits = slab(chunkp_ref[:], conservative_nan=True)
+            sact = jnp.max(shits.astype(jnp.float32), axis=0,
+                           keepdims=True)                  # [1, NSp]
+            nsp = chunkp_ref.shape[1]
+            ns_real = -(-n_clusters // 16)
+            s_io = jax.lax.broadcasted_iota(jnp.int32, (1, nsp), 1)
+            sact = sact * (s_io < ns_real).astype(jnp.float32)
+            # chunk gate = any of its 8 sub-boxes active: a tiny
+            # [1, NSp] x [NSp, NCs] dot against the sub->chunk
+            # indicator built from iotas (values are 0/1 and sums <= 8
+            # — exact in any MXU pass precision; lane-dim strided
+            # reductions are not otherwise expressible in Mosaic)
+            ncs = cstat_ref.shape[0]
+            g_io_s = jax.lax.broadcasted_iota(jnp.int32, (nsp, ncs), 0)
+            g_io_j = jax.lax.broadcasted_iota(jnp.int32, (nsp, ncs), 1)
+            gmat = (g_io_s // 8 == g_io_j).astype(jnp.float32)
+            cgate = jnp.dot(sact, gmat,
+                            preferred_element_type=jnp.float32)
+            cstat_ref[:] = jnp.transpose(cgate, (1, 0)).astype(jnp.int32)
             for j in range(n_chunks):  # static: <=~40 chunks unrolled
 
                 @pl.when(cstat_ref[j, 0] > 0)
@@ -1248,7 +1283,8 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
 
     Large-scene statics: ``chunked`` compacts candidates per 128-
     cluster chunk (``sd_triu`` must then be the fixed [128, 128] triu,
-    ``chunkp`` the chunk AABB planes); ``stream`` keeps ``sd_coef``
+    ``chunkp`` the [8, NSp] 16-cluster sub-box planes —
+    sd.cluster_sub16_planes); ``stream`` keeps ``sd_coef``
     (and the SSS ``buk``/``win`` tables) in HBM, DMA-streaming visit
     blocks through a double buffer."""
     tmq = int(getattr(cfg, "mega_tile", TM) or TM)
@@ -1287,7 +1323,15 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         pltpu.VMEM((tmq, 128), jnp.float32),  # gather rows out
     ]
     if chunked:
-        scratch.append(pltpu.VMEM((chunkp.shape[1], 1), jnp.int32))
+        # per-chunk gate cells [NCs, 1] (chunkp itself is the FINER
+        # [8, NSp] sub16 table; 8 sub-boxes fold into each chunk gate)
+        nc_pad = -(-max(cp // 128, 1) // 128) * 128
+        n_sub = -(-cp // 16)
+        ns_pad = -(-n_sub // 128) * 128         # pad128(ceil(cp/16))
+        assert chunkp.shape[1] == ns_pad, (
+            "chunked mega expects cluster_sub16_planes (16-cluster "
+            f"boxes, [8, {ns_pad}]), got {chunkp.shape} for cp={cp}")
+        scratch.append(pltpu.VMEM((nc_pad, 1), jnp.int32))
     if stream:
         scratch += [
             pltpu.VMEM((2, 16, 4 * kp), jnp.float32),  # coef dbl buffer

@@ -301,7 +301,7 @@ def _mega_render_sharded(tabs, cam24, sample_base, sd, mtriu,
             sd_.n_clusters, ints, cam24_, ltab_, lights2_,
             sd_.cluster_planes, sd_.cluster_begin_col, mtriu_,
             sd_.cluster_coef, tri8_, mat16_, envp_, buk_, win_, ota_,
-            sd_.cluster_chunk_planes,
+            sd_.cluster_sub16_planes,
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd_.n_emit,
             has_sss=sd_.has_sss,
             env_shape=(int(sd_.env_map.shape[0]), int(sd_.env_map.shape[1])),

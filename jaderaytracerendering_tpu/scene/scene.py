@@ -128,6 +128,16 @@ class SceneData:
     # sentinel, see the assembly-site NOTE; the kernel simply never
     # reads them)
     cluster_chunk_planes: jax.Array
+    # finer level-1 AABBs for the MEGAKERNEL's chunked compaction:
+    # unions of 16 BVH-ordered clusters, [8, NSp] (NSp = ceil(Cp/16)
+    # padded to 128). 8 sub-boxes per 128-cluster chunk gate the
+    # per-chunk [TM, 128] slab much more tightly than the chunk-union
+    # box (r4 stats: the chunk box passed 1.23M slabs of which only
+    # 75.6k produced candidates). Sub-boxes past ceil(C/16) are
+    # inverted sentinels; the kernel masks them by a static iota
+    # compare, so unlike cluster_chunk_planes their hit behavior is
+    # never observed.
+    cluster_sub16_planes: jax.Array
     # MXU intersection coefficients [10, 4*T] (ops.gemm_intersect)
     tri_gemm: jax.Array
     # wide per-triangle table [T, 16] = (p1, p2, p3, norm, obj_as_f32, pad3):
@@ -322,6 +332,21 @@ def assemble(
             cchunk[0:3, j] = cl.aa[b:e].min(axis=0)
             cchunk[3:6, j] = cl.bb[b:e].max(axis=0)
 
+    # megakernel sub-chunk AABBs: unions of 16 clusters (8 per chunk).
+    # Padding columns keep the inverted sentinel boxes but the kernel
+    # masks them with iota < ceil(C/16) — their slab behavior is never
+    # observed (unlike cchunk's, see the NOTE above).
+    n_sub16 = -(-c_pad // 16)
+    ns_pad = -(-max(n_sub16, 1) // 128) * 128
+    csub16 = np.zeros((8, ns_pad), np.float32)
+    csub16[0:3, :] = 1e30
+    csub16[3:6, :] = -1e30
+    for j in range(n_sub16):
+        b, e = j * 16, min((j + 1) * 16, cl.n_clusters)
+        if b < cl.n_clusters:
+            csub16[0:3, j] = cl.aa[b:e].min(axis=0)
+            csub16[3:6, j] = cl.bb[b:e].max(axis=0)
+
     has_sss = bool((refract_modes == material_mod.SUB_SURFACE).any())
     sss_bucket = np.zeros((0, 2), np.int32)
     sss_window = np.zeros((0, 32), np.float32)
@@ -373,6 +398,7 @@ def assemble(
         cluster_begin_col=to(cbegin_col, np.int32),
         cluster_triu=to(ctriu),
         cluster_chunk_planes=to(cchunk),
+        cluster_sub16_planes=to(csub16),
         tri_gemm=to(gemm_intersect.pack_coefficients(p1, p2, p3)),
         tri_table=to(tri_table),
         mat_table=to(mat_table),

@@ -222,7 +222,7 @@ def test_mega_stream_lcap_overflow_dense_fallback():
         out = megak.render_mega(
             sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
             sd.cluster_begin_col, triu128, sd.cluster_coef,
-            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes,
             cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),

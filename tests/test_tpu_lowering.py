@@ -88,7 +88,7 @@ def _mega_args(sd):
     ints = jnp.zeros((1, 8), jnp.int32)
     return (ints, cam24, ltab, lights2, sd.cluster_planes,
             sd.cluster_begin_col, sd.cluster_triu, sd.cluster_coef,
-            tri8, mat16, envp, buk, win, ota, sd.cluster_chunk_planes)
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes)
 
 
 @pytest.mark.parametrize("gather", ["loop", "block", "mxu", "auto"])
