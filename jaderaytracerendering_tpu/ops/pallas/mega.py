@@ -421,10 +421,12 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
     (the in-kernel twins of cluster_sweep_stream):
 
       - ``chunked``: candidate compaction runs per 128-cluster chunk
-        behind a conservative chunk-AABB prefilter (``chunkp_ref``
-        [8, NCp], ``cstat_ref`` [NCp, 1] scratch), with ``triu_ref``
-        holding the fixed [128, 128] triu instead of the [Cp, Cp] one
-        — removes the quadratic compaction wall past c_pad 2048;
+        behind a conservative sub16 prefilter (``chunkp_ref``
+        [8, NSp] 16-cluster boxes, ``cstat_ref`` [NCp, 1] compacted
+        active-chunk ids), with ``planes_ref`` restacked [NC, 8, 128]
+        and ``triu_ref`` holding the fixed [128, 128] triu instead of
+        the [Cp, Cp] one — removes the quadratic compaction wall past
+        c_pad 2048;
       - ``stream``: ``coefs_ref`` lives in HBM (pl.ANY) and per-visit
         [16, 4Kp] blocks DMA through the ``buf_ref`` [2, 16, 4Kp]
         double buffer (``dsem`` DMA((2,))). Pixel-coherent mega tiles
@@ -482,22 +484,30 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 jnp.where(sel, (cid_i + 1).astype(jnp.float32), 0.0),
                 axis=1, keepdims=True).astype(jnp.int32)
     else:
-        # level 1: conservative chunk-AABB prefilter (skips the chunk's
-        # [TM, 128] slab — removing it measured 902 vs 709 ms at 400k,
-        # so it DOES skip real work even though 36/36 chunks pass on
-        # the worst divergent sweeps); level 2: per-active-chunk slab +
-        # fixed [128, 128]-triu compaction with a running offset
-        # (cluster_sweep_stream._stream_kernel form; slots past l_cap
-        # fall outside l_iota and simply don't select — overflow is
-        # handled by the dense visit fallback below). The compaction
-        # dot + serialized scalar bookkeeping additionally gate on the
-        # chunk holding a CANDIDATE cluster (r4 stats: 1.23M AABB
-        # activations for 180k visits — most activated chunks
-        # contribute nothing).
-        n_chunks = cp // 128
+        # level 1: conservative sub16 prefilter -> per-chunk gate;
+        # level 2: a DYNAMIC fori_loop over the COMPACTED active-chunk
+        # list (avg ~1.1 active chunks/sweep at 400k) doing the
+        # per-chunk slab + fixed [128, 128]-triu compaction with a
+        # running offset (cluster_sweep_stream._stream_kernel form;
+        # slots past l_cap fall outside l_iota and simply don't select
+        # — overflow is handled by the dense visit fallback below).
+        # The r4 replay decomposition showed the previous STATIC
+        # 36-chunk unrolled pl.when chain cost ~271 ms/launch at 400k
+        # (38% of wall) in serialized scalar predicate reads even with
+        # every chunk gated off — the dynamic loop pays only for
+        # chunks that are actually active. planes_ref is [NC, 8, 128]
+        # in chunked mode (render_mega restacks it) so the per-chunk
+        # slab is a leading-dim dynamic index — the proven coefs_ref
+        # pattern, no lane-dim dynamic slicing.
         assert stat_ref is not None, "chunked sweep needs stat_ref"
+        ncs = cstat_ref.shape[0]
+        assert ncs == 128 and triu_ref.shape == (128, 128), (
+            "chunked compaction reuses the fixed 128-triu for the "
+            f"chunk-id compaction; got ncs={ncs} (cp={cp} > 16384 "
+            "clusters needs a two-level chunk compaction)")
         ids_ref[:] = jnp.zeros((l_cap, 1), jnp.int32)
         cnt_ref[0:1, 0:1] = jnp.zeros((1, 1), jnp.int32)
+        stat_ref[4:5, 0:1] = jnp.zeros((1, 1), jnp.int32)
         l_iota_c = jax.lax.broadcasted_iota(jnp.int32, (l_cap, 128), 0)
 
         @pl.when(gate)
@@ -523,45 +533,52 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
             # indicator built from iotas (values are 0/1 and sums <= 8
             # — exact in any MXU pass precision; lane-dim strided
             # reductions are not otherwise expressible in Mosaic)
-            ncs = cstat_ref.shape[0]
             g_io_s = jax.lax.broadcasted_iota(jnp.int32, (nsp, ncs), 0)
             g_io_j = jax.lax.broadcasted_iota(jnp.int32, (nsp, ncs), 1)
             gmat = (g_io_s // 8 == g_io_j).astype(jnp.float32)
             cgate = jnp.dot(sact, gmat,
                             preferred_element_type=jnp.float32)
-            cstat_ref[:] = jnp.transpose(cgate, (1, 0)).astype(jnp.int32)
-            for j in range(n_chunks):  # static: <=~40 chunks unrolled
+            # compact the active chunk ids (ascending) into cstat_ref:
+            # the same triu prefix-position trick as the cluster
+            # compaction, at chunk granularity (cgate is 0/1 so the
+            # stored value is chunk_id+1, 0 = empty slot)
+            cpos = jnp.dot(cgate, triu_ref[:],
+                           preferred_element_type=jnp.float32)
+            l_io2 = jax.lax.broadcasted_iota(jnp.int32, (ncs, ncs), 0)
+            j_io2 = jax.lax.broadcasted_iota(jnp.int32, (ncs, ncs), 1)
+            sel_c = (cpos.astype(jnp.int32) == l_io2 + 1) & (cgate > 0.0)
+            cstat_ref[:] = jnp.sum(
+                jnp.where(sel_c, (j_io2 + 1).astype(jnp.float32), 0.0),
+                axis=1, keepdims=True).astype(jnp.int32)
+            stat_ref[4:5, 0:1] = jnp.sum(
+                cgate, axis=1, keepdims=True).astype(jnp.int32)
 
-                @pl.when(cstat_ref[j, 0] > 0)
-                def _(j=j):
-                    hits = slab(planes_ref[:, j * 128:(j + 1) * 128])
-                    cid_l = (jax.lax.broadcasted_iota(
-                        jnp.int32, (1, 128), 1) + j * 128)
-                    act = (jnp.max(hits.astype(jnp.float32), axis=0,
-                                   keepdims=True)
-                           * (cid_l < n_clusters).astype(jnp.float32))
-                    ncand = jnp.sum(act, axis=1, keepdims=True)
-                    # ncand is lane-dim [1,1]; stash it in the spare
-                    # stat row (stat_ref is [8,1] — sublane-indexable)
-                    # so the level-2 gate can read it as a scalar
-                    stat_ref[4:5, 0:1] = ncand.astype(jnp.int32)
-                    stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + (
-                        ncand > 0).astype(jnp.int32)  # row 3: dots run
+        def chunk_body(l, carry):
+            j = cstat_ref[l, 0] - 1
+            hits = slab(planes_ref[pl.ds(j, 1)][0])       # [TM, 128]
+            cid_l = (jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1) + j * 128)
+            act = (jnp.max(hits.astype(jnp.float32), axis=0,
+                           keepdims=True)
+                   * (cid_l < n_clusters).astype(jnp.float32))
+            ncand = jnp.sum(act, axis=1, keepdims=True)
+            # row 3: chunks with candidates (telemetry parity with the
+            # static-chain version's "dots run" counter)
+            stat_ref[3:4, 0:1] = stat_ref[3:4, 0:1] + (
+                ncand > 0).astype(jnp.int32)
+            pos = jnp.dot(act, triu_ref[:],
+                          preferred_element_type=jnp.float32)
+            off = cnt_ref[0, 0]
+            slot = pos.astype(jnp.int32) + off - 1        # [1, 128]
+            sel = (l_iota_c == slot) & (act > 0.0)
+            ids_ref[:] = ids_ref[:] + jnp.sum(
+                jnp.where(sel, (cid_l + 1).astype(jnp.float32), 0.0),
+                axis=1, keepdims=True).astype(jnp.int32)
+            cnt_ref[0:1, 0:1] = (cnt_ref[0:1, 0:1]
+                                 + ncand.astype(jnp.int32))
+            return carry
 
-                    @pl.when(stat_ref[4, 0] > 0)
-                    def _(act=act, cid_l=cid_l, ncand=ncand):
-                        pos = jnp.dot(act, triu_ref[:],
-                                      preferred_element_type=jnp.float32)
-                        off = cnt_ref[0, 0]
-                        slot = pos.astype(jnp.int32) + off - 1  # [1,128]
-                        sel = (l_iota_c == slot) & (act > 0.0)
-                        ids_ref[:] = ids_ref[:] + jnp.sum(
-                            jnp.where(sel,
-                                      (cid_l + 1).astype(jnp.float32),
-                                      0.0),
-                            axis=1, keepdims=True).astype(jnp.int32)
-                        cnt_ref[0:1, 0:1] = (cnt_ref[0:1, 0:1]
-                                             + ncand.astype(jnp.int32))
+        jax.lax.fori_loop(0, stat_ref[4, 0], chunk_body, 0)
 
         n_act = cnt_ref[0, 0]
 
@@ -1292,6 +1309,13 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
     mp = shard_px if shard_px else -(-npix // tmq) * tmq
     kp = sd_coef.shape[2] // 4
     cp = sd_planes.shape[1]
+    if chunked:
+        # restack the [8, Cp] planes into per-chunk [NC, 8, 128] blocks
+        # so the kernel's dynamic active-chunk loop reads chunk j with a
+        # leading-dim dynamic index (the proven coefs_ref pattern)
+        assert cp % 128 == 0, "chunked mega expects 128-padded planes"
+        sd_planes = jnp.transpose(
+            sd_planes.reshape(8, cp // 128, 128), (1, 0, 2))
     max_iters = spp * (cfg.max_depth + 2) + 4
     kern = functools.partial(
         _mega_kernel, cfg=cfg, npix=int(npix), e_cnt=int(e_cnt),
