@@ -61,6 +61,7 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
                + tmq * 8 * 4 + tmq * 128 * 4)      # gather ids + rows
     if stream:
         scratch += 2 * 16 * 4 * kp * 4             # coef double buffer
+    if stream or getattr(cfg, "mega_chunked", "auto") == "on":
         # per-chunk gate cells [NCs, 1] (render_mega's nc_pad)
         scratch += -(-max(cp // 128, 1) // 128) * 128 * 4
     return planes + scratch
@@ -107,11 +108,19 @@ def kernel_opts(sd, cfg: RenderConfig) -> dict:
     # neutral but wasteful), 100k max 152, 400k max 211; 128/256 cover
     # all three with zero overflows
     l_cap = 128 if c_pad <= 512 else 256
+    chunk128 = jnp.triu(jnp.ones((128, 128), jnp.float32))
     if m == "resident":
+        # resident coefficients can still opt into the chunked
+        # compaction (sub16 prefilter + dynamic active-chunk loop):
+        # past ~1k clusters the non-chunked [TM, Cp] slab + [Cp, Cp]
+        # triu dot dominate the sweep's fixed work
+        if getattr(cfg, "mega_chunked", "auto") == "on":
+            return {"stream": False, "chunked": True, "l_cap": l_cap,
+                    "triu": chunk128}
         return {"stream": False, "chunked": False, "l_cap": l_cap,
                 "triu": sd.cluster_triu}
     return {"stream": True, "chunked": True, "l_cap": l_cap,
-            "triu": jnp.triu(jnp.ones((128, 128), jnp.float32))}
+            "triu": chunk128}
 
 
 def _pack128(a: np.ndarray) -> np.ndarray:

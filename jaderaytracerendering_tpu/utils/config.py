@@ -61,6 +61,13 @@ class RenderConfig:
     # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
     # vector gather is shape-preserving take_along_axis within one
     # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
+    mega_chunked: str = "auto"        # megakernel candidate compaction:
+    # 'auto' (chunked iff streaming) | 'on' (force the chunked
+    # compaction — sub16 prefilter + dynamic active-chunk loop + fixed
+    # 128-triu — even with VMEM-resident coefficients). At resident
+    # 100k scale the non-chunked compaction pays a [TM, Cp~1152] slab
+    # + a [Cp, Cp] triu dot per sweep; the chunked one pays a
+    # [TM, NSp~128] sub16 slab + ~1 active [TM, 128] chunk slab.
     mega_stack_segments: bool = False  # megakernel: trace the bounce's
     # E+2 segments (light NEE + HDR visibility + continuation) in ONE
     # stacked sweep call instead of E+2 calls. MEASURED LOSS everywhere

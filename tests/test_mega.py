@@ -183,6 +183,25 @@ def test_mega_stream_bit_exact_vs_resident():
 
 
 @pytest.mark.slow
+def test_mega_chunked_resident_bit_exact():
+    """mega_chunked='on' (chunked compaction — sub16 prefilter +
+    dynamic active-chunk loop + fixed 128-triu — with VMEM-resident
+    coefficients) is a pure execution-strategy change: bit-identical
+    to the non-chunked resident render."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(max_depth=6)
+    ccfg = cfg.replace(mega_chunked="on")
+    assert mega.mode(sd, ccfg) == "resident"
+    assert mega.kernel_opts(sd, ccfg)["chunked"]
+    assert not mega.kernel_opts(sd, ccfg)["stream"]
+    a = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, ccfg).mean())
+    np.testing.assert_array_equal(b, a)
+
+
+@pytest.mark.slow
 def test_mega_stream_refract_bit_exact():
     """The streamed in-kernel refraction march (nested sweeps under
     stream=True) matches the resident one bit-for-bit."""

@@ -152,6 +152,32 @@ def test_preview_mega_lowers_for_tpu(jade):
            sd.cluster_triu, sd.cluster_coef, tri8, mat16, envp)
 
 
+def test_mega_chunked_resident_lowers_for_tpu(jade):
+    """Chunked compaction (dynamic active-chunk fori_loop over the
+    compacted cstat list + [NC, 8, 128] planes restack) with resident
+    coefficients must pass the full pallas->Mosaic lowering."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8,
+                       mega_chunked="on").replace(spp=1)
+    mopts = mega_mod.kernel_opts(sd, cfg)
+    mtriu = mopts.pop("triu")
+    assert mopts["chunked"] and not mopts["stream"]
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False, **mopts)
+
+    args = list(_mega_args(sd))
+    args[6] = mtriu
+    _lower(f, *args)
+
+
 def test_mega_stream_lowers_for_tpu(jade):
     """The HBM-streaming megakernel variant (chunked compaction +
     coef DMA double-buffer + SSS pick-table row DMA) must pass the

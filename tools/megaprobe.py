@@ -33,6 +33,9 @@ def main():
                     help="0 = the engine's size-scaled default")
     ap.add_argument("--stream", action="store_true",
                     help="force the HBM-streaming coefficient path")
+    ap.add_argument("--chunked", action="store_true",
+                    help="force the chunked compaction with resident "
+                    "coefficients (cfg.mega_chunked='on')")
     ap.add_argument("--mega-tile", type=int, default=0,
                     help="0 = cfg default")
     ap.add_argument("--cpu", action="store_true")
@@ -64,6 +67,8 @@ def main():
         cfg = cfg.replace(mega_tile=args.mega_tile)
     if args.stream:
         cfg = cfg.replace(mega_force_stream=True)
+    if args.chunked:
+        cfg = cfg.replace(mega_chunked="on")
     assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
     mopts = mega_mod.kernel_opts(sd, cfg)
     mtriu = mopts.pop("triu")
