@@ -893,7 +893,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
     # 4 smp (in-flight sample id), 5-7 spare
     mst_ref[:] = jnp.zeros((8, tm), jnp.int32)
-    out_ref[:] = jnp.zeros((8, tm), jnp.float32)
+    out_ref[:] = jnp.zeros((10, tm), jnp.float32)
 
     def body(carry):
         it, _ = carry
@@ -1266,16 +1266,31 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         mst_ref[:] = jnp.concatenate([
             active3.astype(jnp.int32), hit_idx3, b3, ns2, smp_n,
             zi, zi, zi])
+        # lane-utilization telemetry: row 8 sums ACTIVE lanes per
+        # iteration (a live path this bounce), row 9 sums PENDING lanes
+        # (active or still owing samples) — utilization = row8 /
+        # (TM * iters); row9 - row8 = lanes stalled waiting to spawn;
+        # TM * iters - row9 = lanes idle because their pixel finished
+        # all spp while tile-mates' deep paths kept iterating
+        # (intra-tile divergence — the headroom a lane-redistribution
+        # scheme would recover)
+        live3 = active3 | (pix_ok & (ns2 < spp))
+        stat_ref[5:6, 0:1] = stat_ref[5:6, 0:1] + jnp.sum(
+            active3.astype(jnp.int32), axis=1, keepdims=True)
+        stat_ref[6:7, 0:1] = stat_ref[6:7, 0:1] + jnp.sum(
+            live3.astype(jnp.int32), axis=1, keepdims=True)
+
         # rows 5-7: max tile union | active-chunk count (chunked mode;
         # l_cap overflow is visible as row5 > l_cap) | total visits
         out_ref[:] = jnp.concatenate([
             film.x, film.y, film.z, n_ray, O[4:5] + 1.0,
             zrow + stat_ref[0:1, 0:1].astype(jnp.float32),
             zrow + stat_ref[3:4, 0:1].astype(jnp.float32),
-            zrow + stat_ref[2:3, 0:1].astype(jnp.float32)])
+            zrow + stat_ref[2:3, 0:1].astype(jnp.float32),
+            zrow + stat_ref[5:6, 0:1].astype(jnp.float32),
+            zrow + stat_ref[6:7, 0:1].astype(jnp.float32)])
 
-        cont = jnp.sum((active3 | (pix_ok & (ns2 < spp))).astype(
-            jnp.float32)) > 0.0
+        cont = jnp.sum(live3.astype(jnp.float32)) > 0.0
         return it + 1, cont.astype(jnp.int32)
 
     jax.lax.while_loop(
@@ -1292,9 +1307,11 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
                 e_cnt, has_sss, env_shape, cdf_window, spp,
                 has_refract=False, shard_px=None, l_cap=64, gather="take",
                 interpret=False, _debug="full", chunked=False, stream=False):
-    """One launch = the whole render: returns [8, Mp] f32 with rows
+    """One launch = the whole render: returns [10, Mp] f32 with rows
     0-2 per-pixel radiance sums over ``spp`` samples, 3 ray count,
-    4 loop iterations (per tile). ``shard_px`` (TM multiple) renders
+    4 loop iterations (per tile), 5-7 sweep stats (max tile union /
+    active chunks / visits), 8-9 lane-utilization sums (active,
+    pending lane-iterations). ``shard_px`` (TM multiple) renders
     only the pixel window [ints[0,3], ints[0,3]+shard_px) — the film
     shard of one device in the multi-chip mesh.
 
@@ -1367,9 +1384,9 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         kern,
         grid=(mp // tmq,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((8, tmq), lambda i: (0, i),
+        out_specs=pl.BlockSpec((10, tmq), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((8, mp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((10, mp), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=_mega_compiler_params(),

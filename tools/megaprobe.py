@@ -100,12 +100,15 @@ def main():
                 interpret=jax.default_backend() == "cpu", _debug=dbg,
                 **mopts)
             tmq = int(getattr(cfg, "mega_tile", 256) or 256)
-            pt = out[5:8].reshape(3, -1, tmq)[:, :, 0]  # per-tile stats
+            pt = out[4:10].reshape(6, -1, tmq)[:, :, 0]  # per-tile stats
             return jnp.stack([jnp.max(out[4]), jnp.float32(0),
                               jnp.sum(out[3]), jnp.sum(out[0:3]),
-                              jnp.max(pt[0]),       # max n_act any tile
-                              jnp.sum(pt[1]),       # active chunks
-                              jnp.sum(pt[2])])      # total visits
+                              jnp.max(pt[1]),       # max n_act any tile
+                              jnp.sum(pt[2]),       # active chunks
+                              jnp.sum(pt[3]),       # total visits
+                              jnp.sum(pt[0]),       # total tile iters
+                              jnp.sum(pt[4]),       # active lane-iters
+                              jnp.sum(pt[5])])      # pending lane-iters
 
         return bench_call
 
@@ -129,9 +132,15 @@ def main():
         print(f"{dbg:9s} gather={args.gather:5s} wall={best*1e3:8.2f} ms  "
               f"iters={iters:6.0f}  rays={total_rays/1e6:7.2f}M  "
               f"-> {total_rays/best/1e6:6.2f} Mrays/s  (chk {checksum:.3e})")
+        tmq = int(getattr(cfg, "mega_tile", 256) or 256)
+        lane_iters = max(stats[7] * tmq, 1.0)
         print(f"          sweep stats: max_n_act={stats[4]:.0f}  "
               f"active_chunks={stats[5]/1e3:.1f}k  "
               f"visits={stats[6]/1e3:.1f}k")
+        print(f"          lanes: util={stats[8]/lane_iters:5.1%} "
+              f"pending={stats[9]/lane_iters:5.1%} "
+              f"(divergence-idle={1 - stats[9]/lane_iters:5.1%}; "
+              f"{stats[7]:.0f} tile-iters)")
 
 
 if __name__ == "__main__":
