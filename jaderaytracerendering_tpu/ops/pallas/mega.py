@@ -538,23 +538,34 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
             gmat = (g_io_s // 8 == g_io_j).astype(jnp.float32)
             cgate = jnp.dot(sact, gmat,
                             preferred_element_type=jnp.float32)
+            # normalize to 0/1 FIRST: cgate holds the chunk's ACTIVE
+            # SUB-BOX COUNT (0..8) — prefixing the raw counts leaves
+            # holes in the compacted list (slot 0 -> j = -1 -> an OOB
+            # VMEM read that crashed the TPU worker; interpret mode
+            # masked it via Python negative-index wrapping + visit
+            # idempotency, so only hardware caught it — pinned by
+            # tests/test_mega.py::test_mega_chunked_visit_counts...)
+            cg01 = (cgate > 0.0).astype(jnp.float32)
             # compact the active chunk ids (ascending) into cstat_ref:
             # the same triu prefix-position trick as the cluster
-            # compaction, at chunk granularity (cgate is 0/1 so the
-            # stored value is chunk_id+1, 0 = empty slot)
-            cpos = jnp.dot(cgate, triu_ref[:],
+            # compaction, at chunk granularity (stored value is
+            # chunk_id+1, 0 = empty slot)
+            cpos = jnp.dot(cg01, triu_ref[:],
                            preferred_element_type=jnp.float32)
             l_io2 = jax.lax.broadcasted_iota(jnp.int32, (ncs, ncs), 0)
             j_io2 = jax.lax.broadcasted_iota(jnp.int32, (ncs, ncs), 1)
-            sel_c = (cpos.astype(jnp.int32) == l_io2 + 1) & (cgate > 0.0)
+            sel_c = (cpos.astype(jnp.int32) == l_io2 + 1) & (cg01 > 0.0)
             cstat_ref[:] = jnp.sum(
                 jnp.where(sel_c, (j_io2 + 1).astype(jnp.float32), 0.0),
                 axis=1, keepdims=True).astype(jnp.int32)
             stat_ref[4:5, 0:1] = jnp.sum(
-                cgate, axis=1, keepdims=True).astype(jnp.int32)
+                cg01, axis=1, keepdims=True).astype(jnp.int32)
 
         def chunk_body(l, carry):
-            j = cstat_ref[l, 0] - 1
+            # clamp like the stream path's cid: a compaction bug must
+            # degrade to a harmless duplicate chunk-0 slab, not an OOB
+            # VMEM read (= TPU worker crash)
+            j = jnp.maximum(cstat_ref[l, 0] - 1, 0)
             hits = slab(planes_ref[pl.ds(j, 1)][0])       # [TM, 128]
             cid_l = (jax.lax.broadcasted_iota(
                 jnp.int32, (1, 128), 1) + j * 128)
@@ -743,9 +754,19 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     tile = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tm), 1)
     # ints col 3 = dynamic pixel offset (film shard base, multi-chip)
-    pix = ints_ref[0:1, 3:4] + tile * tm + lane        # [1, TM] i32
-    pix_ok = pix < npix
-    pix_u = pix.astype(jnp.uint32)
+    tile_base = ints_ref[0:1, 3:4] + tile * tm         # [1, 1] i32
+    pix_id = tile_base + lane                          # [1, TM] i32
+    # intra-tile work redistribution (cfg.mega_redistribute): lane !=
+    # pixel — lanes pull (pixel, sample) work items from a per-tile
+    # counter in sample-major order (item w -> pixel w % TM, sample
+    # w // TM: iteration 0 is the identity assignment), so a lane whose
+    # pixel finished all spp keeps working on tile-mates' samples
+    # instead of idling (measured 36% divergence-idle lane-iterations
+    # at 64x64 spp8). Film writes become exact one-hot MXU scatters at
+    # retire time; RNG streams are site-keyed by (pixel, sample) so
+    # radiance is scan-parity up to per-pixel fp add order.
+    redist = bool(getattr(cfg, "mega_redistribute", False))
+    w_total = spp * tm
     seed = cfg.seed
     width, height = cfg.width, cfg.height
     zrow = jnp.zeros((1, tm), jnp.float32)
@@ -890,9 +911,12 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     grow_ref[:] = jnp.zeros_like(grow_ref[:])
     stat_ref[:] = jnp.zeros((8, 1), jnp.int32)
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
-    # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed),
-    # 4 smp (in-flight sample id), 5-7 spare
+    # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed;
+    # unused under redistribution), 4 smp (in-flight sample id),
+    # 5 tile-local pixel (redistribution), 6-7 spare
     mst_ref[:] = jnp.zeros((8, tm), jnp.int32)
+    if redist:
+        mst_ref[5:6] = lane
     out_ref[:] = jnp.zeros((10, tm), jnp.float32)
 
     def body(carry):
@@ -905,6 +929,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         ns = M_[3:4]
         smp = M_[4:5]
         smp_u = smp.astype(jnp.uint32)
+        if redist:
+            pixl_cur = M_[5:6]                 # tile-local pixel
+            pix = tile_base + pixl_cur
+        else:
+            pixl_cur = lane
+            pix = pix_id
+        pix_ok = pix < npix
+        pix_u = pix.astype(jnp.uint32)
         ray_src = V3(F[0:1], F[1:2], F[2:3])
         out_dir = V3(F[3:4], F[4:5], F[5:6])
         t_put = V3(F[6:7], F[7:8], F[8:9])
@@ -1173,23 +1205,67 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # here (one extra gated sweep per round), and it collapses
         # sky-dominated tiles from one sample/iteration to
         # spawn_rounds samples/iteration.
-        px = (pix_u % jnp.uint32(width)).astype(jnp.int32).astype(
-            jnp.float32)
-        py = (pix_u // jnp.uint32(width)).astype(jnp.int32).astype(
-            jnp.float32)
         fresh = ~still
         started = jnp.zeros_like(fresh)
-        sky_sum = V3(zrow, zrow, zrow)
+        sky_sum = V3(zrow, zrow, zrow)     # lane-indexed (lane == pixel)
+        film_sc = V3(zrow, zrow, zrow)     # pixel-indexed (redistribution)
         n_got = zrow
         srcP, dirP = ray_src2, out_dir2
         hitP, le0P = hit_idx2, le0
         rowP, mrowP = crow_t, cmrow_t
         smp_n, ns_r = smp, ns
+        pixl_n = pixl_cur
+        if redist:
+            io_r2 = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+            io_c2 = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+            triu_i2 = (io_r2 <= io_c2).astype(jnp.float32)
+
+            def scatter3(v, pixl_t, mask):
+                # exact one-hot film scatter: lane rows land in their
+                # target pixel's column; several lanes retiring samples
+                # of one pixel sum in the dot. One-hot operand is 0/1
+                # so the 6-pass HIGHEST decomposition reconstructs the
+                # f32 radiance exactly (the 'mxu' gather argument).
+                pcol = jnp.transpose(
+                    jnp.where(mask, pixl_t, -1).astype(jnp.int32), (1, 0))
+                oh = (pcol == io_c2).astype(jnp.float32)   # [TM, TM]
+                st = jnp.concatenate([v.x, v.y, v.z], axis=0)
+                o = jnp.dot(st, oh,
+                            precision=jax.lax.Precision.HIGHEST)
+                return V3(o[0:1], o[1:2], o[2:3])
+
+            # retire finished paths into their pixels' film columns
+            film_sc = scatter3(contrib, pixl_cur, finished)
         for _ in range(max(1, cfg.spawn_rounds)):
-            got = fresh & pix_ok & (ns_r < spp)
-            smp_g = jnp.where(got, ns_r + sample_base, smp_n)
+            if redist:
+                # pull work items w = wbase + rank(fresh lane):
+                # pixel w % TM, sample w // TM. Items whose pixel is
+                # outside the film (tail tile) are consumed but not
+                # rendered; the lane stays fresh for the next round.
+                cf = fresh.astype(jnp.float32)
+                rank = jnp.dot(cf, triu_i2) - cf           # exclusive
+                w_l = stat_ref[7, 0] + rank.astype(jnp.int32)
+                haswork = fresh & (w_l < w_total)
+                pixl_g = jax.lax.rem(w_l, tm)
+                pix_g = tile_base + pixl_g
+                got = haswork & (pix_g < npix)
+                smp_g = jnp.where(got, jax.lax.div(w_l, tm) + sample_base,
+                                  smp_n)
+                pixl_n = jnp.where(got, pixl_g, pixl_n)
+                stat_ref[7:8, 0:1] = stat_ref[7:8, 0:1] + jnp.sum(
+                    haswork.astype(jnp.int32), axis=1, keepdims=True)
+                pu_g = jnp.where(got, pix_g, pix).astype(jnp.uint32)
+            else:
+                got = fresh & pix_ok & (ns_r < spp)
+                smp_g = jnp.where(got, ns_r + sample_base, smp_n)
+                pixl_g = pixl_cur
+                pu_g = pix_u
+            px = (pu_g % jnp.uint32(width)).astype(jnp.int32).astype(
+                jnp.float32)
+            py = (pu_g // jnp.uint32(width)).astype(jnp.int32).astype(
+                jnp.float32)
             smp_nu = smp_g.astype(jnp.uint32)
-            uj = rng.uniform_sites(jnp, pix_u, smp_nu, 0,
+            uj = rng.uniform_sites(jnp, pu_g, smp_nu, 0,
                                    [S.JITTER_X, S.JITTER_Y], seed)
             u1, u2 = uj[0:1], uj[1:2]
             if cfg.jitter == "cuda":
@@ -1219,7 +1295,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                                mask=miss)
             row0, p_mrow = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                        p_idx, gm_row, gate=g_st, mask=st_r)
-            sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
+            if redist:
+                # instant sky retire: scatter to the PULLED pixel (the
+                # lane may pull a different pixel again next round)
+                film_sc = film_sc + scatter3(
+                    vwhere(miss, psky, 0.0, jnp), pixl_g, miss)
+            else:
+                sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
             n_got = n_got + got.astype(jnp.float32)
             started = started | st_r
             srcP = vwhere(st_r, eye + d_u * p_bt, srcP, jnp)
@@ -1236,9 +1318,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             ns_r = jnp.where(got, ns_r + 1, ns_r)
             fresh = fresh & ~st_r
 
-        # film: dense lane accumulation (lane == pixel)
+        # film: dense lane accumulation (lane == pixel), or the
+        # pixel-indexed scatter accumulator under redistribution
         O = out_ref[:]
-        film = V3(O[0:1], O[1:2], O[2:3]) + contrib + sky_sum
+        if redist:
+            film = V3(O[0:1] + film_sc.x, O[1:2] + film_sc.y,
+                      O[2:3] + film_sc.z)
+        else:
+            film = V3(O[0:1], O[1:2], O[2:3]) + contrib + sky_sum
         n_ray = O[3:4] + active.astype(jnp.float32) * (e_cnt + 2) + n_got
 
         # next state merge (started lanes take the primary block)
@@ -1265,7 +1352,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             le03.x, le03.y, le03.z, zrow, trow3, mrow3])
         mst_ref[:] = jnp.concatenate([
             active3.astype(jnp.int32), hit_idx3, b3, ns2, smp_n,
-            zi, zi, zi])
+            pixl_n if redist else zi, zi, zi])
         # lane-utilization telemetry: row 8 sums ACTIVE lanes per
         # iteration (a live path this bounce), row 9 sums PENDING lanes
         # (active or still owing samples) — utilization = row8 /
@@ -1274,7 +1361,10 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # all spp while tile-mates' deep paths kept iterating
         # (intra-tile divergence — the headroom a lane-redistribution
         # scheme would recover)
-        live3 = active3 | (pix_ok & (ns2 < spp))
+        if redist:
+            live3 = active3 | (stat_ref[7:8, 0:1] < w_total)
+        else:
+            live3 = active3 | (pix_ok & (ns2 < spp))
         stat_ref[5:6, 0:1] = stat_ref[5:6, 0:1] + jnp.sum(
             active3.astype(jnp.int32), axis=1, keepdims=True)
         stat_ref[6:7, 0:1] = stat_ref[6:7, 0:1] + jnp.sum(

@@ -61,6 +61,14 @@ class RenderConfig:
     # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
     # vector gather is shape-preserving take_along_axis within one
     # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
+    mega_redistribute: bool = False   # megakernel intra-tile work
+    # redistribution: lanes pull (pixel, sample) items from a per-tile
+    # counter instead of owning one pixel, so lanes whose pixel finished
+    # all spp keep working on tile-mates' samples (telemetry measured
+    # 36% divergence-idle lane-iterations at 64x64 spp8). Film writes
+    # become exact one-hot MXU scatters at retire; RNG streams are
+    # (pixel, sample)-keyed so radiance matches the dense assignment up
+    # to per-pixel fp add ORDER (allclose, not bit-equal, vs scan).
     mega_chunked: str = "auto"        # megakernel candidate compaction:
     # 'auto' (chunked iff streaming) | 'on' (force the chunked
     # compaction — sub16 prefilter + dynamic active-chunk loop + fixed

@@ -183,6 +183,43 @@ def test_mega_stream_bit_exact_vs_resident():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("rounds", [1, 2])
+def test_mega_redistribute_matches_scan(rounds):
+    """Intra-tile work redistribution renders the same (pixel, sample)
+    set with the same site-keyed RNG streams — radiance matches the
+    scan engine up to per-pixel fp ADD ORDER (samples retire in path-
+    completion order, not sample order), hence allclose, not bitwise.
+    Covers the SSS jade scene and spawn_rounds (multiple pulls per
+    iteration compound with redistribution)."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd, a, b = _films(ds, _cfg(max_depth=6, spawn_rounds=rounds,
+                               mega_redistribute=True))
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_mega_redistribute_deterministic_and_resumable():
+    """Two identical redistribution renders are bit-identical, and a
+    resumed (film-count offset) render keeps sample ids disjoint: spp 4
+    in one call equals 2+2 across two calls up to fp add order."""
+    ds = demo.cornell_scene()
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(mega_redistribute=True)
+    r1 = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    r2 = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    np.testing.assert_array_equal(r1, r2)
+    half = cfg.replace(spp=2)
+    f1 = mega.render_film_mega(sd, ds.camera, half)
+    f2 = mega.render_film_mega(sd, ds.camera, half, film=f1)
+    one = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).accum)
+    two = np.asarray(f2.accum)
+    scale = max(np.abs(one).max(), 1.0)
+    np.testing.assert_allclose(two, one, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_chunked_resident_bit_exact():
     """mega_chunked='on' (chunked compaction — sub16 prefilter +
     dynamic active-chunk loop + fixed 128-triu — with VMEM-resident
@@ -199,6 +236,54 @@ def test_mega_chunked_resident_bit_exact():
     a = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
     b = np.asarray(mega.render_film_mega(sd, ds.camera, ccfg).mean())
     np.testing.assert_array_equal(b, a)
+
+
+@pytest.mark.slow
+def test_mega_chunked_visit_counts_match_resident():
+    """The chunked compaction must produce the SAME candidate sets as
+    the non-chunked one — compare the in-kernel sweep telemetry (max
+    tile union, total visits), not just the film: duplicated or missed
+    candidates can stay film-invisible (min/max visit idempotency)
+    while wrecking performance or faulting on hardware. Regression
+    test for the sub-box-count compaction hole (slot 0 -> j=-1 OOB):
+    the film stayed bit-exact but visits were duplicated."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    # >128 clusters so the chunked path covers 2+ chunks
+    ds = demo.jade_scene(n_buddha_tris=20000, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2, max_depth=3)
+    assert int(sd.cluster_planes.shape[1]) >= 256
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    ints = jnp.zeros((1, 8), jnp.int32)
+
+    def run(ccfg):
+        mopts = mega.kernel_opts(sd, ccfg)
+        mtriu = mopts.pop("triu")
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, mtriu, sd.cluster_coef, tri8, mat16,
+            envp, buk, win, ota, sd.cluster_sub16_planes,
+            cfg=ccfg.replace(spp=1), npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=2, has_refract=sd.has_refract,
+            gather="take", interpret=True, **mopts)
+        o = np.asarray(out)
+        tmq = int(ccfg.mega_tile)
+        pt = o[5:8].reshape(3, -1, tmq)[:, :, 0]
+        return o[0:3], pt[0].max(), pt[2].sum()  # film, max union, visits
+
+    film_a, union_a, visits_a = run(cfg)
+    film_b, union_b, visits_b = run(cfg.replace(mega_chunked="on"))
+    np.testing.assert_array_equal(film_b, film_a)
+    assert union_b == union_a, (union_b, union_a)
+    assert visits_b == visits_a, (visits_b, visits_a)
 
 
 @pytest.mark.slow

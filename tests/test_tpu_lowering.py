@@ -178,6 +178,29 @@ def test_mega_chunked_resident_lowers_for_tpu(jade):
     _lower(f, *args)
 
 
+def test_mega_redistribute_lowers_for_tpu(jade):
+    """Intra-tile work redistribution (per-tile work counter, rank
+    prefix dot, [TM, TM] one-hot film scatter at HIGHEST, i32 rem/div
+    on pulled work ids) must pass the full pallas->Mosaic lowering."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8,
+                       mega_redistribute=True).replace(spp=1)
+    mopts = mega_mod.kernel_opts(sd, cfg)
+    mopts.pop("triu")
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False, **mopts)
+
+    _lower(f, *_mega_args(sd))
+
+
 def test_mega_stream_lowers_for_tpu(jade):
     """The HBM-streaming megakernel variant (chunked compaction +
     coef DMA double-buffer + SSS pick-table row DMA) must pass the

@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--chunked", action="store_true",
                     help="force the chunked compaction with resident "
                     "coefficients (cfg.mega_chunked='on')")
+    ap.add_argument("--redist", action="store_true",
+                    help="intra-tile work redistribution "
+                    "(cfg.mega_redistribute=True)")
     ap.add_argument("--mega-tile", type=int, default=0,
                     help="0 = cfg default")
     ap.add_argument("--cpu", action="store_true")
@@ -69,6 +72,8 @@ def main():
         cfg = cfg.replace(mega_force_stream=True)
     if args.chunked:
         cfg = cfg.replace(mega_chunked="on")
+    if args.redist:
+        cfg = cfg.replace(mega_redistribute=True)
     assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
     mopts = mega_mod.kernel_opts(sd, cfg)
     mtriu = mopts.pop("triu")

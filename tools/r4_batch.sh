@@ -32,13 +32,21 @@ run() {  # run <name> <timeout_s> <cmd...>
   echo "$(date +%H:%M:%S) end $name rc=$rc" >> $OUT/watch.log
 }
 
-# 1. THE headline question: 400k with the dynamic chunk loop (+ replay)
-run m400k 2400 python tools/megaprobe.py --tris 400000 --debug full,2xsweep
+# 1. THE headline questions: 400k with the dynamic chunk loop (+ replay)
+#    and the default row with intra-tile work redistribution
+run m400k 2400 python tools/megaprobe.py --tris 400000 --gather auto --debug full,2xsweep
+run mdef_redist 1800 python tools/megaprobe.py --gather auto --redist
+run mdef_redist2 1800 python tools/megaprobe.py --gather auto --redist --spawn-rounds 2
 # 2. default-scale mega decomposition incl. the gather replay
-run mdef 1800 python tools/megaprobe.py --debug full,2xgather,2xsweep
-# 3. 100k + depth16 A/B rows (mega)
-run m100k 1800 python tools/megaprobe.py --tris 100000 --debug full
-run mdepth16 1800 python tools/megaprobe.py --depth 16 --debug full
+run mdef 1800 python tools/megaprobe.py --gather auto --debug full,2xgather,2xsweep
+# 3. redistribution on the bounce-heavy + large rows
+run mdepth16_redist 1800 python tools/megaprobe.py --depth 16 --gather auto --redist
+run mdepth16 1800 python tools/megaprobe.py --depth 16 --gather auto
+run m400k_redist 2400 python tools/megaprobe.py --tris 400000 --gather auto --redist
+run m100k 1800 python tools/megaprobe.py --tris 100000 --gather auto
+run m100k_chunked 1800 python tools/megaprobe.py --tris 100000 --gather auto --chunked
+run m100k_redist 1800 python tools/megaprobe.py --tris 100000 --gather auto --redist
+run mdef_redist3 1800 python tools/megaprobe.py --gather auto --redist --spawn-rounds 3
 # 4. full bench matrix refresh (auto A/Bs engines per row)
 run matrix 5400 python bench.py --all
 echo "$(date +%H:%M:%S) BATCH DONE" >> $OUT/watch.log
