@@ -82,6 +82,12 @@ def mode(sd, cfg: RenderConfig):
     if (sd.cluster_triu.size and total <= MEGA_VMEM_BUDGET
             and not getattr(cfg, "mega_force_stream", False)):
         return "resident"
+    if int(sd.cluster_planes.shape[1]) > 128 * 128:
+        # the chunked compaction's chunk-id pass reuses the fixed
+        # [128, 128] triu, capping stream mode at 128 chunks = 16384
+        # clusters (ops/pallas/mega.py asserts ncs == 128); beyond
+        # that the pool engine's HBM-streaming sweep handles the scene
+        return None
     resident_part = (sd.tri_table.nbytes + sd.env_pack.nbytes
                      + _scratch_bytes(sd, cfg, stream=True))
     if resident_part <= MEGA_STREAM_VMEM_BUDGET:

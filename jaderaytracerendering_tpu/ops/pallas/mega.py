@@ -766,7 +766,16 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # retire time; RNG streams are site-keyed by (pixel, sample) so
     # radiance is scan-parity up to per-pixel fp add order.
     redist = bool(getattr(cfg, "mega_redistribute", False))
-    w_total = spp * tm
+    # valid (in-film) pixel count of this tile: tail tiles enumerate
+    # work items over ONLY their valid pixels (item w -> pixel
+    # w % n_valid, sample w // n_valid) so fresh lanes never burn pull
+    # rounds consuming out-of-film padding items. Full tiles have
+    # n_valid == tm — identical enumeration to the lane==pixel
+    # identity at iteration 0. Per-pixel sample order is unchanged
+    # (sample-major either way), so the film is bit-equal.
+    n_valid = jnp.clip(npix - tile_base, 0, tm)        # [1, 1] i32
+    n_valid_g = jnp.maximum(n_valid, 1)
+    w_total = spp * n_valid                            # [1, 1] i32
     seed = cfg.seed
     width, height = cfg.width, cfg.height
     zrow = jnp.zeros((1, tm), jnp.float32)
@@ -1239,18 +1248,18 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         for _ in range(max(1, cfg.spawn_rounds)):
             if redist:
                 # pull work items w = wbase + rank(fresh lane):
-                # pixel w % TM, sample w // TM. Items whose pixel is
-                # outside the film (tail tile) are consumed but not
-                # rendered; the lane stays fresh for the next round.
+                # pixel w % n_valid, sample w // n_valid — every item
+                # is an in-film (pixel, sample) pair by construction.
                 cf = fresh.astype(jnp.float32)
                 rank = jnp.dot(cf, triu_i2) - cf           # exclusive
                 w_l = stat_ref[7, 0] + rank.astype(jnp.int32)
                 haswork = fresh & (w_l < w_total)
-                pixl_g = jax.lax.rem(w_l, tm)
+                pixl_g = jax.lax.rem(w_l, n_valid_g)
                 pix_g = tile_base + pixl_g
                 got = haswork & (pix_g < npix)
-                smp_g = jnp.where(got, jax.lax.div(w_l, tm) + sample_base,
-                                  smp_n)
+                smp_g = jnp.where(got,
+                                  jax.lax.div(w_l, n_valid_g)
+                                  + sample_base, smp_n)
                 pixl_n = jnp.where(got, pixl_g, pixl_n)
                 stat_ref[7:8, 0:1] = stat_ref[7:8, 0:1] + jnp.sum(
                     haswork.astype(jnp.int32), axis=1, keepdims=True)
@@ -1424,6 +1433,15 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
         sd_planes = jnp.transpose(
             sd_planes.reshape(8, cp // 128, 128), (1, 0, 2))
     max_iters = spp * (cfg.max_depth + 2) + 4
+    if getattr(cfg, "mega_redistribute", False):
+        # work-pulling schedule slack: the loop self-terminates on
+        # no-live-work, so the cap only needs to dominate the worst
+        # case — greedy makespan <= total/TM + longest item =
+        # spp*(max_depth+1) + max_depth + pull rounds. Without this a
+        # small mega_spp_batch at deep max_depth (spp + 4 < max_depth)
+        # hits the cap and silently drops in-flight samples
+        # (test_mega_redistribute_deep_paths_not_dropped).
+        max_iters += cfg.max_depth + 1
     kern = functools.partial(
         _mega_kernel, cfg=cfg, npix=int(npix), e_cnt=int(e_cnt),
         has_sss=bool(has_sss), has_refract=bool(has_refract),

@@ -44,9 +44,11 @@ class RenderConfig:
     # the ~33 fps axon roundtrip ceiling). 1 = reference parity (every
     # pixel every frame). Requires npix % (B * mega_tile) == 0 for the
     # mega engine; the CLI picks a valid B automatically.
-    engine: str = "pool"              # 'pool' (respawn compaction) |
-    # 'scan' | 'mega' (whole-render single-launch Pallas megakernel,
-    # integrator/mega.py; ineligible scenes fall back to the pool)
+    engine: str = "mega"              # 'mega' (whole-render single-
+    # launch Pallas megakernel + work redistribution,
+    # integrator/mega.py — r4 hardware A/B won every bench row;
+    # ineligible scenes fall back to the pool) | 'pool' (respawn
+    # compaction) | 'scan'
     mega_spp_batch: int = 64          # megakernel: max samples per
     # launch (a full-scale 1080p x 1024spp render as ONE dispatch would
     # hold the tunnel for minutes; batching bounds per-call wall time
@@ -61,7 +63,7 @@ class RenderConfig:
     # rows) | 'take' (jnp.take; interpret-mode/testing only — Mosaic's
     # vector gather is shape-preserving take_along_axis within one
     # vreg, jax/_src/pallas/mosaic/lowering.py:2464-2524)
-    mega_redistribute: bool = False   # megakernel intra-tile work
+    mega_redistribute: bool = True    # megakernel intra-tile work
     # redistribution: lanes pull (pixel, sample) items from a per-tile
     # counter instead of owning one pixel, so lanes whose pixel finished
     # all spp keep working on tile-mates' samples (telemetry measured
@@ -69,6 +71,9 @@ class RenderConfig:
     # become exact one-hot MXU scatters at retire; RNG streams are
     # (pixel, sample)-keyed so radiance matches the dense assignment up
     # to per-pixel fp add ORDER (allclose, not bit-equal, vs scan).
+    # Default ON since r5 — hardware A/B (r4 batch, quiet chip) won
+    # every row: default 18.25 vs 15.25, depth16 16.36 vs 12.79,
+    # 100k 13.31 vs 10.46, 400k-stream 8.11 vs 6.17 Mrays/s.
     mega_chunked: str = "auto"        # megakernel candidate compaction:
     # 'auto' (chunked iff streaming) | 'on' (force the chunked
     # compaction — sub16 prefilter + dynamic active-chunk loop + fixed

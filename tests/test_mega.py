@@ -220,6 +220,36 @@ def test_mega_redistribute_deterministic_and_resumable():
 
 
 @pytest.mark.slow
+def test_mega_redistribute_deep_paths_not_dropped():
+    """The while-loop iteration cap must dominate the work-pulling
+    schedule's worst case (greedy makespan up to spp*(avg_depth+1) +
+    max_depth + pull rounds), not just the lane==pixel schedule's
+    spp*(depth+2)+4 — otherwise late-pulled deep paths are silently
+    dropped while Film.count still advances, darkening the film.
+    Workload: a CLOSED cornell box (front wall added, camera inside),
+    rr_rate=1.0 — paths can only terminate at max_depth or on the
+    light, so the measured schedule runs 33 iterations against the
+    old cap of 40 (spp2 x depth16, 2 work items per lane). A film-
+    parity check vs scan catches any dropped in-flight sample (the
+    ceiling light's NEE makes every bounce contribute)."""
+    ds = demo.cornell_scene()
+    white = demo.material.Material(brdf=(0.72, 0.72, 0.72))
+    ds.objects.append(demo._obj(
+        "front", demo.procedural.quad(), white,
+        dict(rotate=(0, 180, 0), translate=(0, 0, 1),
+             scale=(2.0, 2.0, 1.0)), normalize=False))
+    ds.camera.r = 0.8
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(width=16, height=16, spp=2, spp_batch=2, max_depth=16,
+               rr_rate=1.0, mega_redistribute=True)
+    a = np.asarray(
+        R.render_film(sd, ds.camera, cfg.replace(engine="scan")).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_chunked_resident_bit_exact():
     """mega_chunked='on' (chunked compaction — sub16 prefilter +
     dynamic active-chunk loop + fixed 128-triu — with VMEM-resident
