@@ -59,6 +59,11 @@ def _scratch_bytes(sd, cfg: RenderConfig, stream: bool) -> int:
                + l_cap * 4 + 4                     # candidate ids + count
                + 2 * sseg * tmq * kp * 4           # btw/bw wide (stacked)
                + tmq * 8 * 4 + tmq * 128 * 4)      # gather ids + rows
+    if getattr(cfg, "mega_prologue", False) and getattr(
+            cfg, "mega_redistribute", False):
+        # primary-prologue work list: 3 planes x [spp_batch, tmq] f32
+        scratch += 3 * max(1, int(getattr(cfg, "mega_spp_batch", 64))
+                           ) * tmq * 4
     if stream:
         scratch += 2 * 16 * 4 * kp * 4             # coef double buffer
     if stream or getattr(cfg, "mega_chunked", "auto") == "on":

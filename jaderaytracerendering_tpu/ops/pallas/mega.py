@@ -765,7 +765,6 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # at 64x64 spp8). Film writes become exact one-hot MXU scatters at
     # retire time; RNG streams are site-keyed by (pixel, sample) so
     # radiance is scan-parity up to per-pixel fp add order.
-    redist = bool(getattr(cfg, "mega_redistribute", False))
     # valid (in-film) pixel count of this tile: tail tiles enumerate
     # work items over ONLY their valid pixels (item w -> pixel
     # w % n_valid, sample w // n_valid) so fresh lanes never burn pull
@@ -818,11 +817,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
               for i in range(e_cnt)]
 
     # optional large-scene scratch (appended in render_mega's order)
+    redist = bool(getattr(cfg, "mega_redistribute", False))
+    prologue = redist and bool(getattr(cfg, "mega_prologue", False))
     ri = iter(rest)
     cstat_ref = next(ri) if chunked else None
     buf_ref = next(ri) if stream else None
     dsem = next(ri) if stream else None
     rsem = next(ri) if stream else None
+    wl_ref = next(ri) if prologue else None
     # sweep-stats cells (always last): row 0 max n_act, 1 overflow
     # events (n_act > l_cap -> dense all-cluster fallback), 2 total
     # clusters visited — surfaced on out rows 5-7 for tuning l_cap
@@ -918,7 +920,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # contents can reach (masked) selects — zero it once so skipped
     # gathers never surface uninitialized-VMEM NaN bit patterns
     grow_ref[:] = jnp.zeros_like(grow_ref[:])
-    stat_ref[:] = jnp.zeros((8, 1), jnp.int32)
+    stat_ref[:] = jnp.zeros((10, 1), jnp.int32)
     fst_ref[:] = jnp.zeros((48, tm), jnp.float32)
     # mst rows: 0 active, 1 hit_idx, 2 bounce, 3 ns (samples consumed;
     # unused under redistribution), 4 smp (in-flight sample id),
@@ -927,6 +929,104 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     if redist:
         mst_ref[5:6] = lane
     out_ref[:] = jnp.zeros((10, tm), jnp.float32)
+
+    nw = max(1, spp)
+    if prologue:
+        # ---- primary prologue: trace all spp x n_valid primaries at
+        # FULL lane density (lane == pixel), resolve sky misses
+        # immediately as DENSE lane adds into the film (no scatter),
+        # and compact surface hits (item id, hit t, hit tri) into the
+        # wl_ref work list via one-hot MXU scatters. The main loop's
+        # spawn rounds then pull PRE-TRACED surface items — no spawn
+        # sweep, no sky pull stall (51% of the demo scene's primary
+        # samples are sky; telemetry showed ~36% of lane-iterations
+        # stalled pending on pulls that yielded instant sky retires).
+        wl_ref[:] = jnp.zeros_like(wl_ref[:])
+        validp = lane < n_valid
+        pixp = tile_base + lane
+        pup = jnp.where(validp, pixp, 0).astype(jnp.uint32)
+        io_rp = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 0)
+        io_cp = jax.lax.broadcasted_iota(jnp.int32, (tm, tm), 1)
+        triu_p = (io_rp <= io_cp).astype(jnp.float32)
+        pxf = (pup % jnp.uint32(width)).astype(jnp.int32).astype(
+            jnp.float32)
+        pyf = (pup // jnp.uint32(width)).astype(jnp.int32).astype(
+            jnp.float32)
+
+        def p_step(s):
+            smp_p = jnp.zeros((1, tm), jnp.int32) + s + sample_base
+            smp_pu = smp_p.astype(jnp.uint32)
+            uj = rng.uniform_sites(jnp, pup, smp_pu, 0,
+                                   [S.JITTER_X, S.JITTER_Y], seed)
+            u1, u2 = uj[0:1], uj[1:2]
+            if cfg.jitter == "cuda":
+                ndc_x = -1.0 + 2.0 / width * (pxf + u1 - 0.5)
+                ndc_y = -1.0 + 2.0 / height * (pyf + u2 - 0.5)
+            else:  # "gl"
+                ndc_x = (-1.0 + 2.0 * (pxf + 0.5) / width
+                         + (u1 - 0.5) / width)
+                ndc_y = (-1.0 + 2.0 * (pyf + 0.5) / height
+                         + (u2 - 0.5) / height)
+            dcam = V3(ndc_x, ndc_y,
+                      jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
+            dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
+            pf, d_u = _feats16(eye, vwhere(validp, dirs, 0.0, jnp))
+            anyv = jnp.sum(validp.astype(jnp.float32)) > 0.0
+            p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
+                               anyhit=False, gate=anyv)
+            p_hit = validp & (p_bt < INF)
+            miss = validp & ~p_hit
+            g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
+            psky = env_sampleG(env_ref, idsl_ref, grow_ref, d_u,
+                               env_shape, cfg.hdr_clamp, gm_env,
+                               gate=g_miss, mask=miss)
+            skyv = vwhere(miss, psky, 0.0, jnp)
+            O = out_ref[0:4]
+            out_ref[0:4] = jnp.concatenate([
+                O[0:1] + skyv.x, O[1:2] + skyv.y, O[2:3] + skyv.z,
+                O[3:4] + validp.astype(jnp.float32)])
+            # append hits at slots nh .. nh+hits-1 (pos spans at most
+            # two [1, TM] rows of each plane; one-hot MXU scatter per
+            # row — the scatter3 mechanism; slots are written once so
+            # accumulate-into-zero is exact)
+            hf = p_hit.astype(jnp.float32)
+            nh = stat_ref[8, 0]
+            pos = nh + (jnp.dot(hf, triu_p) - hf).astype(jnp.int32)
+            item = jnp.where(p_hit, s * tm + lane + 1, 0).astype(
+                jnp.float32)                       # +1: 0 = empty slot
+            biv = jnp.where(p_hit, p_bi, 0).astype(jnp.float32)
+            btv = jnp.where(p_hit, p_bt, 0.0)
+            r0 = nh // tm
+            for rr in range(2):
+                ridx = jnp.minimum(r0 + rr, nw - 1)
+                selm = p_hit & (pos // tm == r0 + rr)
+                lcol = jnp.transpose(
+                    jnp.where(selm, jax.lax.rem(pos, tm), -1), (1, 0))
+                oh = (lcol == io_cp).astype(jnp.float32)
+                for off, valr in ((0, item), (nw, btv), (2 * nw, biv)):
+                    upd = jnp.dot(valr, oh,
+                                  precision=jax.lax.Precision.HIGHEST)
+                    wl_ref[pl.ds(off + ridx, 1), :] = (
+                        wl_ref[pl.ds(off + ridx, 1), :] + upd)
+            stat_ref[8:9, 0:1] = stat_ref[8:9, 0:1] + jnp.sum(
+                hf, axis=1, keepdims=True).astype(jnp.int32)
+            return s + 1
+
+        jax.lax.while_loop(lambda s: s < spp, p_step, 0)
+
+    def _sink(x):
+        # DCE-proof sink for the 2x-replay debug variants (PERF.md r4
+        # method): storing one duplicate row into fst row 15 (spare;
+        # the state merge writes zrow there at body end) forces the
+        # duplicate computation to materialize — wall(2x) - wall(full)
+        # is then the component's true cost under unchanged control
+        # flow, where zero-stub ablations change the ray mix and
+        # mis-attribute. The replay INPUTS are perturbed by a
+        # compiler-opaque runtime zero (the body reads fst row 15,
+        # always 0 by the zrow merge) so the duplicate graph cannot
+        # CSE with the original; replay outputs reach only this sink,
+        # so results are correct regardless of the perturbation value.
+        fst_ref[15:16] = x[0:1]
 
     def body(carry):
         it, _ = carry
@@ -946,6 +1046,11 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             pix = pix_id
         pix_ok = pix < npix
         pix_u = pix.astype(jnp.uint32)
+        # replay perturbations: runtime-zero (row 15 is zrow-merged
+        # every iteration), opaque to the compiler — see _sink
+        eps_f = F[15:16]
+        eps_u = eps_f.astype(jnp.int32).astype(jnp.uint32)
+        eps_b = eps_f != 0.0
         ray_src = V3(F[0:1], F[1:2], F[2:3])
         out_dir = V3(F[3:4], F[4:5], F[5:6])
         t_put = V3(F[6:7], F[7:8], F[8:9])
@@ -964,6 +1069,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # per-site calls; S stacked rows pack sublanes where S separate
         # [1, TM] chains run ~1/8-utilized vregs)
         us_all = rng.uniform_sites(jnp, pix_u, smp_u, b1, sites, seed)
+        if debug == "2xrng":  # replay: the batched per-bounce RNG hash
+            _sink(rng.uniform_sites(jnp, pix_u + eps_u, smp_u, b1,
+                                    sites, seed))
         us = [us_all[i:i + 1] for i in range(len(sites))]
 
         if has_sss:
@@ -1089,6 +1197,14 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             refr = None
 
         pre = wavefront.FrontPre(us, erows, exit_tri, tot_a, refr)
+        if debug == "2xfront":  # replay: branch select + sampling math
+            pre_p = wavefront.FrontPre(
+                [u + eps_f for u in us], erows, exit_tri, tot_a, refr)
+            _sink(wavefront.bounce_front(
+                active ^ eps_b, V3(ray_src.x + eps_f, ray_src.y,
+                                   ray_src.z), out_dir, tri, trow, mrow,
+                pre_p, light_pts, e_cnt, has_sss, has_refract, cfg,
+                jnp).cdir.x)
         f = wavefront.bounce_front(active, ray_src, out_dir, tri, trow,
                                    mrow, pre, light_pts, e_cnt, has_sss,
                                    has_refract, cfg, jnp)
@@ -1182,6 +1298,18 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         crow_t, cmrow_t = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref, c_idx,
                                       gm_row, gate=g_chit, mask=c_hit)
         c_obj_em = V3(cmrow_t[0:1], cmrow_t[1:2], cmrow_t[2:3])
+        if debug == "2xresolve":  # replay: the NEE/branch resolve math
+            skyp = V3(sky.x + eps_f, sky.y, sky.z)
+            _sink(wavefront.resolve_tail(
+                jnp, e_cnt, has_sss, has_refract, cfg.rr_rate,
+                cfg.sss_rate, f.ldirs, l_oks, l_norms, l_emises, l_areas,
+                skyp, skyp, f.hdir, cdir_u, f.nee_norm, f.exit_norm,
+                f.bss, f.fr, f.fr_alb, f.emissive, c_obj_em, f.cont_src,
+                f.ref_rate, f.r0_sss, f.total_area, f.k, f.u_rr,
+                c_bt + eps_f, f.sss_entry, f.sss_exit, f.is_mirror,
+                f.is_dirref, f.alive, active ^ eps_b, f.emit_break,
+                jnp.zeros_like(active), f.needs_nee, c_hit, h_hit,
+                f.ref_escaped)[0].x)
         dir_out, rate_out, new_src, accept, killed = wavefront.resolve_tail(
             jnp, e_cnt, has_sss, has_refract, cfg.rr_rate, cfg.sss_rate,
             f.ldirs, l_oks, l_norms, l_emises, l_areas,
@@ -1244,9 +1372,54 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 return V3(o[0:1], o[1:2], o[2:3])
 
             # retire finished paths into their pixels' film columns
+            if debug == "2xfilm":  # replay: the one-hot MXU scatter
+                _sink(scatter3(V3(contrib.x + eps_f, contrib.y,
+                                  contrib.z), pixl_cur + (eps_f != 0.0),
+                               finished).x)
             film_sc = scatter3(contrib, pixl_cur, finished)
         for _ in range(max(1, cfg.spawn_rounds)):
-            if redist:
+            bt_pre = None
+            if redist and prologue:
+                # pull PRE-TRACED surface items from the prologue's
+                # work list. w_l spans at most two [1, TM] rows of
+                # each plane; per-lane fields come from one-hot MXU
+                # dots (the scatter3 mechanism reversed). Every item
+                # is a surface hit — no spawn sweep, no sky handling.
+                cf = fresh.astype(jnp.float32)
+                rank = jnp.dot(cf, triu_i2) - cf           # exclusive
+                c_now = stat_ref[7, 0]
+                w_l = c_now + rank.astype(jnp.int32)
+                haswork = fresh & (w_l < stat_ref[8, 0])
+                r0p = c_now // tm
+                acc_it = acc_bt = acc_bi = zrow
+                for rr in range(2):
+                    ridx = jnp.minimum(r0p + rr, nw - 1)
+                    selm = haswork & (w_l // tm == r0p + rr)
+                    ohp = ((jax.lax.rem(w_l, tm) == io_r2) & selm
+                           ).astype(jnp.float32)          # [TM, TM]
+                    hi = jax.lax.Precision.HIGHEST
+                    acc_it = acc_it + jnp.dot(
+                        wl_ref[pl.ds(ridx, 1), :], ohp, precision=hi)
+                    acc_bt = acc_bt + jnp.dot(
+                        wl_ref[pl.ds(nw + ridx, 1), :], ohp,
+                        precision=hi)
+                    acc_bi = acc_bi + jnp.dot(
+                        wl_ref[pl.ds(2 * nw + ridx, 1), :], ohp,
+                        precision=hi)
+                itemv = acc_it.astype(jnp.int32) - 1
+                got = haswork & (itemv >= 0)
+                bt_pre = (jnp.where(got, acc_bt, INF),
+                          acc_bi.astype(jnp.int32))
+                pixl_g = jnp.where(got, jax.lax.rem(itemv, tm), 0)
+                pix_g = tile_base + pixl_g
+                smp_g = jnp.where(got,
+                                  jax.lax.div(itemv, tm) + sample_base,
+                                  smp_n)
+                pixl_n = jnp.where(got, pixl_g, pixl_n)
+                stat_ref[7:8, 0:1] = stat_ref[7:8, 0:1] + jnp.sum(
+                    haswork.astype(jnp.int32), axis=1, keepdims=True)
+                pu_g = jnp.where(got, pix_g, pix).astype(jnp.uint32)
+            elif redist:
                 # pull work items w = wbase + rank(fresh lane):
                 # pixel w % n_valid, sample w // n_valid — every item
                 # is an in-film (pixel, sample) pair by construction.
@@ -1288,30 +1461,55 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             dcam = V3(ndc_x, ndc_y,
                       jnp.full_like(ndc_x, camera_mod.FOCAL_Z))
             dirs = vm.vnormalize(vm.vtransform(_Mat(), dcam, 0.0), jnp)
-            pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
-            any_got = jnp.sum(got.astype(jnp.float32)) > 0.0
-            p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
-                               anyhit=False, gate=any_got)
+            if bt_pre is not None:
+                # prologue: the primary was pre-traced; only the unit
+                # direction (for the hit point and the path state) is
+                # needed — same double normalization as _feats16
+                d_u = vm.vnormalize(
+                    _unit_p(vwhere(got, dirs, 0.0, jnp)), jnp)
+                p_bt, p_bi = bt_pre
+            else:
+                pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
+                if debug == "2xspawncam":  # replay: jitter RNG +
+                    # camera rotate + the primary [16, TM] feature
+                    # build (the spawn round's non-sweep math)
+                    uj2 = rng.uniform_sites(jnp, pu_g + eps_u, smp_nu,
+                                            0, [S.JITTER_X, S.JITTER_Y],
+                                            seed)
+                    d2 = vm.vnormalize(vm.vtransform(_Mat(), V3(
+                        dcam.x + uj2[0:1] - uj2[0:1], dcam.y, dcam.z),
+                        0.0), jnp)
+                    pf2, _ = _feats16(eye, vwhere(got, d2, 0.0, jnp))
+                    _sink(pf2[0:1] + uj2[0:1])
+                any_got = jnp.sum(got.astype(jnp.float32)) > 0.0
+                p_bt, p_bi = sweep(pf, jnp.full((1, tm), -1, jnp.int32),
+                                   anyhit=False, gate=any_got)
             p_hit = p_bt < INF
             p_idx = jnp.where(p_hit, p_bi, 0)
             miss = got & ~p_hit
             st_r = got & p_hit
             st2d = st_r[0]
-            g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
             g_st = jnp.sum(st_r.astype(jnp.float32)) > 0.0
-            psky = env_sampleG(env_ref, idsl_ref, grow_ref, d_u, env_shape,
-                               cfg.hdr_clamp, gm_env, gate=g_miss,
-                               mask=miss)
             row0, p_mrow = rows_fetchG(tri8_ref, mat_ref, idsl_ref, grow_ref,
                                        p_idx, gm_row, gate=g_st, mask=st_r)
-            if redist:
-                # instant sky retire: scatter to the PULLED pixel (the
-                # lane may pull a different pixel again next round)
-                film_sc = film_sc + scatter3(
-                    vwhere(miss, psky, 0.0, jnp), pixl_g, miss)
+            if bt_pre is not None:
+                pass  # prologue: every pulled item is a surface hit —
+                # sky was resolved densely in the prologue
             else:
-                sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
-            n_got = n_got + got.astype(jnp.float32)
+                g_miss = jnp.sum(miss.astype(jnp.float32)) > 0.0
+                psky = env_sampleG(env_ref, idsl_ref, grow_ref, d_u,
+                                   env_shape, cfg.hdr_clamp, gm_env,
+                                   gate=g_miss, mask=miss)
+                if redist:
+                    # instant sky retire: scatter to the PULLED pixel
+                    # (the lane may pull a different pixel next round)
+                    film_sc = film_sc + scatter3(
+                        vwhere(miss, psky, 0.0, jnp), pixl_g, miss)
+                else:
+                    sky_sum = sky_sum + vwhere(miss, psky, 0.0, jnp)
+            if bt_pre is None:
+                # (prologue counts primaries densely at trace time)
+                n_got = n_got + got.astype(jnp.float32)
             started = started | st_r
             srcP = vwhere(st_r, eye + d_u * p_bt, srcP, jnp)
             dirP = vwhere(st_r, -d_u, dirP, jnp)
@@ -1370,7 +1568,9 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         # all spp while tile-mates' deep paths kept iterating
         # (intra-tile divergence — the headroom a lane-redistribution
         # scheme would recover)
-        if redist:
+        if redist and prologue:
+            live3 = active3 | (stat_ref[7:8, 0:1] < stat_ref[8:9, 0:1])
+        elif redist:
             live3 = active3 | (stat_ref[7:8, 0:1] < w_total)
         else:
             live3 = active3 | (pix_ok & (ns2 < spp))
@@ -1487,7 +1687,14 @@ def render_mega(n_clusters, ints, cam, ltab, lights2, sd_planes, sd_begin,
             pltpu.SemaphoreType.DMA((2,)),             # coef DMA sems
             pltpu.SemaphoreType.DMA,                   # row-gather sem
         ]
-    scratch.append(pltpu.VMEM((8, 1), jnp.int32))      # sweep stats
+    if getattr(cfg, "mega_prologue", False) and getattr(
+            cfg, "mega_redistribute", False):
+        # primary-prologue work list: rows [0:spp] item+1 (0 = empty;
+        # item = sample*tm + tile-local pixel), [spp:2spp] hit t,
+        # [2spp:3spp] hit tri — all f32 (one-hot MXU scatter/gather
+        # planes; integer payloads < 2^24 are exact)
+        scratch.append(pltpu.VMEM((3 * max(1, spp), tmq), jnp.float32))
+    scratch.append(pltpu.VMEM((10, 1), jnp.int32))     # sweep stats
     out = pl.pallas_call(
         kern,
         grid=(mp // tmq,),

@@ -74,6 +74,16 @@ class RenderConfig:
     # Default ON since r5 — hardware A/B (r4 batch, quiet chip) won
     # every row: default 18.25 vs 15.25, depth16 16.36 vs 12.79,
     # 100k 13.31 vs 10.46, 400k-stream 8.11 vs 6.17 Mrays/s.
+    mega_prologue: bool = False       # megakernel PRIMARY PROLOGUE
+    # (requires mega_redistribute): before the bounce loop, trace all
+    # spp x TM primary rays at FULL lane density (lane == pixel, spp
+    # sequential full-tile sweeps), resolve sky misses immediately as
+    # DENSE lane adds into the film (no scatter), and compact the
+    # surface hits (item id, hit t, hit tri) into a VMEM work list.
+    # The main loop then pulls PRE-TRACED surface items — the spawn
+    # round loses its sweep + env fetch entirely and every pull yields
+    # real work, so the sky pull stall (51% of demo items are sky,
+    # ~36% of lane-iterations stalled pending) vanishes.
     mega_chunked: str = "auto"        # megakernel candidate compaction:
     # 'auto' (chunked iff streaming) | 'on' (force the chunked
     # compaction — sub16 prefilter + dynamic active-chunk loop + fixed

@@ -220,6 +220,45 @@ def test_mega_redistribute_deterministic_and_resumable():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("kw", [
+    {}, dict(spawn_rounds=2), dict(spp=8, spp_batch=2),
+    dict(mega_force_stream=True)])
+def test_mega_prologue_matches_scan(kw):
+    """cfg.mega_prologue: the primary prologue traces all spp x TM
+    primaries at full lane density, resolves sky densely, and compacts
+    surface hits into a VMEM work list the main loop pulls pre-traced —
+    radiance must match the scan engine up to per-pixel fp add order
+    (same (pixel, sample)-keyed RNG streams, same env math). Covers the
+    SSS jade scene, spawn_rounds compounding, multi-batch progressive
+    spp, and the HBM-streaming mode."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd, a, b = _films(ds, _cfg(max_depth=6, mega_redistribute=True,
+                               mega_prologue=True, **kw))
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_mega_prologue_work_list_exact():
+    """The prologue's one-hot MXU list append and the pull side's
+    one-hot fetch must reconstruct (item, t, tri) exactly: pin the
+    prologue film BIT-equal to the non-prologue redistribution film
+    on a mirror-heavy scene (same RNG keys, same order of surface
+    retires would NOT hold in general — so compare radiance sums
+    per pixel at tight tolerance instead)."""
+    ds = demo.cornell_scene()
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(mega_redistribute=True)
+    a = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg).mean())
+    b = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_prologue=True)).mean())
+    scale = max(np.abs(a).max(), 1.0)
+    np.testing.assert_allclose(b, a, atol=1e-6 * scale, rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_redistribute_deep_paths_not_dropped():
     """The while-loop iteration cap must dominate the work-pulling
     schedule's worst case (greedy makespan up to spp*(avg_depth+1) +
@@ -332,6 +371,45 @@ def test_mega_stream_refract_bit_exact():
     b = np.asarray(mega.render_film_mega(
         sd, ds.camera, cfg.replace(mega_force_stream=True)).mean())
     np.testing.assert_array_equal(b, a)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
+                                 "2xfilm", "2xspawncam"])
+def test_mega_replay_debug_bit_exact(dbg):
+    """The r5 replay-attribution variants duplicate a pure component
+    on perturbed-by-runtime-zero inputs, sinking the duplicate into
+    scratch — the film must stay BIT-identical to _debug='full' (that
+    equality is what makes wall(2x) - wall(full) honest attribution)."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(max_depth=4)
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    npix = cfg.width * cfg.height
+    opts = mega.kernel_opts(sd, cfg)
+    triu = opts.pop("triu")
+
+    def run(dbg_):
+        ints = jnp.zeros((1, 8), jnp.int32)
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, triu, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes,
+            cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=2, has_refract=sd.has_refract,
+            gather=cfg.mega_gather, interpret=True, _debug=dbg_, **opts)
+        return np.asarray(out[0:3])
+
+    np.testing.assert_array_equal(run(dbg), run("full"))
 
 
 @pytest.mark.slow

@@ -109,6 +109,49 @@ def test_mega_lowers_for_tpu(jade, gather):
     _lower(f, *_mega_args(sd))
 
 
+def test_mega_prologue_lowers_for_tpu(jade):
+    """cfg.mega_prologue (primary prologue + pre-traced work list):
+    the one-hot MXU list append/fetch and the dynamic-sublane wl_ref
+    rows must lower."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8, mega_redistribute=True,
+                       mega_prologue=True).replace(spp=1)
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False)
+
+    _lower(f, *_mega_args(sd))
+
+
+@pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
+                                 "2xfilm", "2xspawncam"])
+def test_mega_replay_debug_lowers_for_tpu(jade, dbg):
+    """The r5 idempotent-replay attribution variants (non-sweep tail
+    decomposition) must lower — they duplicate pure components with
+    opaque runtime-zero input perturbations and a scratch sink."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8).replace(spp=1)
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False, _debug=dbg)
+
+    _lower(f, *_mega_args(sd))
+
+
 def test_mega_refract_lowers_for_tpu():
     from jaderaytracerendering_tpu.ops.pallas import mega as megak
 

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--redist", action="store_true",
                     help="intra-tile work redistribution "
                     "(cfg.mega_redistribute=True)")
+    ap.add_argument("--no-redist", action="store_true",
+                    help="force cfg.mega_redistribute=False")
+    ap.add_argument("--prologue", action="store_true",
+                    help="primary prologue + pre-traced work list "
+                    "(cfg.mega_prologue=True)")
     ap.add_argument("--mega-tile", type=int, default=0,
                     help="0 = cfg default")
     ap.add_argument("--cpu", action="store_true")
@@ -74,6 +79,10 @@ def main():
         cfg = cfg.replace(mega_chunked="on")
     if args.redist:
         cfg = cfg.replace(mega_redistribute=True)
+    if args.no_redist:
+        cfg = cfg.replace(mega_redistribute=False)
+    if args.prologue:
+        cfg = cfg.replace(mega_prologue=True)
     assert mega_mod.eligible(sd, cfg), "scene exceeds the mega budget"
     mopts = mega_mod.kernel_opts(sd, cfg)
     mtriu = mopts.pop("triu")
