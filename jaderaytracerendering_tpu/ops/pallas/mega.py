@@ -411,7 +411,8 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
            ids_ref, cnt_ref, btw_ref, bw_ref, *, kp, cp, n_clusters,
            l_cap, anyhit: bool, gate, chunkp_ref=None, cstat_ref=None,
            buf_ref=None, dsem=None, chunked: bool = False,
-           stream: bool = False, visit_reps: int = 1, stat_ref=None):
+           stream: bool = False, visit_reps: int = 1, stat_ref=None,
+           bounds: bool = False):
     """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
     [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
 
@@ -565,6 +566,15 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
             # clamp like the stream path's cid: a compaction bug must
             # degrade to a harmless duplicate chunk-0 slab, not an OOB
             # VMEM read (= TPU worker crash)
+            if bounds:
+                # _debug='bounds': every compacted chunk slot the loop
+                # visits must hold a real chunk id (the r4 crash class:
+                # a raw-count prefix left holes -> slot 0 -> j = -1 ->
+                # OOB VMEM read; interpret mode masked it)
+                jr = cstat_ref[l, 0] - 1
+                bad = (jr < 0) | (jr >= (n_clusters + 127) // 128)
+                stat_ref[9:10, 0:1] = (stat_ref[9:10, 0:1]
+                                       + bad.astype(jnp.int32))
             j = jnp.maximum(cstat_ref[l, 0] - 1, 0)
             hits = slab(planes_ref[pl.ds(j, 1)][0])       # [TM, 128]
             cid_l = (jax.lax.broadcasted_iota(
@@ -657,6 +667,11 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                         start_fetch(nxt, cid_of(l + 1))
 
                     cid = cid_of(l)
+                    if bounds:  # _debug='bounds': visited candidate
+                        # slots must hold real cluster ids
+                        bad = (cid < 0) | (cid >= n_clusters)
+                        stat_ref[9:10, 0:1] = (stat_ref[9:10, 0:1]
+                                               + bad.astype(jnp.int32))
                     wait_fetch(slot, cid)
 
                     @pl.when(cid >= 0)  # parity with the resident path
@@ -671,6 +686,11 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
             def run(n_visits, cid_of):
                 def visit(l, carry):
                     cid = cid_of(l)
+                    if bounds:  # _debug='bounds': visited candidate
+                        # slots must hold real cluster ids
+                        bad = (cid < 0) | (cid >= n_clusters)
+                        stat_ref[9:10, 0:1] = (stat_ref[9:10, 0:1]
+                                               + bad.astype(jnp.int32))
 
                     @pl.when(cid >= 0)
                     def _():
@@ -838,7 +858,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         n_clusters=n_clusters, l_cap=l_cap, chunkp_ref=chunkp_ref,
         cstat_ref=cstat_ref, buf_ref=buf_ref, dsem=dsem,
         chunked=chunked, stream=stream,
-        visit_reps=2 if debug == "2xvisit" else 1, stat_ref=stat_ref)
+        visit_reps=2 if debug == "2xvisit" else 1, stat_ref=stat_ref,
+        bounds=debug == "bounds")
 
     def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
         if debug == "notrace":
@@ -1407,6 +1428,13 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                         wl_ref[pl.ds(2 * nw + ridx, 1), :], ohp,
                         precision=hi)
                 itemv = acc_it.astype(jnp.int32) - 1
+                if debug == "bounds":
+                    # every in-range pull must land a populated slot
+                    # holding a decodable (sample, pixel) item
+                    badp = haswork & ((itemv < 0)
+                                      | (itemv >= spp * tm))
+                    stat_ref[9:10, 0:1] = stat_ref[9:10, 0:1] + jnp.sum(
+                        badp.astype(jnp.int32), axis=1, keepdims=True)
                 got = haswork & (itemv >= 0)
                 bt_pre = (jnp.where(got, acc_bt, INF),
                           acc_bi.astype(jnp.int32))
@@ -1580,12 +1608,19 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             live3.astype(jnp.int32), axis=1, keepdims=True)
 
         # rows 5-7: max tile union | active-chunk count (chunked mode;
-        # l_cap overflow is visible as row5 > l_cap) | total visits
+        # l_cap overflow is visible as row5 > l_cap) | total visits —
+        # except under _debug='bounds', where row 7 carries the
+        # compaction-invariant VIOLATION count (stat row 9: compacted
+        # cluster/chunk slots outside their tables, work-list pulls
+        # that landed empty slots) so hardware runs can assert 0 on
+        # the OOB crash class interpret mode cannot catch
+        visits_row = (stat_ref[9:10, 0:1] if debug == "bounds"
+                      else stat_ref[2:3, 0:1])
         out_ref[:] = jnp.concatenate([
             film.x, film.y, film.z, n_ray, O[4:5] + 1.0,
             zrow + stat_ref[0:1, 0:1].astype(jnp.float32),
             zrow + stat_ref[3:4, 0:1].astype(jnp.float32),
-            zrow + stat_ref[2:3, 0:1].astype(jnp.float32),
+            zrow + visits_row.astype(jnp.float32),
             zrow + stat_ref[5:6, 0:1].astype(jnp.float32),
             zrow + stat_ref[6:7, 0:1].astype(jnp.float32)])
 

@@ -374,6 +374,52 @@ def test_mega_stream_refract_bit_exact():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mode_kw", [
+    {}, dict(mega_chunked="on"), dict(mega_force_stream=True),
+    dict(mega_prologue=True)])
+def test_mega_bounds_debug_no_violations(mode_kw):
+    """_debug='bounds' counts compaction-invariant violations in-kernel
+    (compacted cluster/chunk slots outside their tables, work-list
+    pulls landing empty slots) on out row 7 — must be ZERO on every
+    compaction variant, with the film unchanged. This is the
+    structural guard for the r4 OOB crash class (holes in a compacted
+    list crashed the TPU worker while interpret mode silently passed);
+    megaprobe --debug bounds runs the same check on hardware."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.camera.r = 2.0
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(max_depth=4, mega_redistribute=True, **mode_kw)
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    npix = cfg.width * cfg.height
+    opts = mega.kernel_opts(sd, cfg)
+    triu = opts.pop("triu")
+
+    def run(dbg_):
+        ints = jnp.zeros((1, 8), jnp.int32)
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, triu, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes,
+            cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=2, has_refract=sd.has_refract,
+            gather=cfg.mega_gather, interpret=True, _debug=dbg_, **opts)
+        return np.asarray(out)
+
+    a, b = run("full"), run("bounds")
+    np.testing.assert_array_equal(b[0:3], a[0:3])   # film unchanged
+    assert b[7].sum() == 0, f"bounds violations: {b[7].sum()}"
+    assert a[7].sum() > 0                           # real visits ran
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
                                  "2xfilm", "2xspawncam"])
 def test_mega_replay_debug_bit_exact(dbg):
