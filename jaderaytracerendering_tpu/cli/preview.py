@@ -39,9 +39,11 @@ def main(argv=None) -> None:
                     help="write a preview frame every N frames")
     ap.add_argument("--bands", type=int, default=0,
                     help="progressive pixel bands per displayed frame "
-                         "(display rate ~bands x the full-frame rate at "
-                         "the same sample rate; 0 = auto: 4 at >= 1024^2, "
-                         "1 = reference parity)")
+                         "(0 = auto = 1: the r4 hardware batch measured "
+                         "banding WORSE at 1024^2 — 2.95 fps at B=4 vs "
+                         "3.63 un-banded; each banded frame pays the "
+                         "full per-dispatch fixed cost for 1/B of the "
+                         "pixels. Kept for explicit experimentation.)")
     args = ap.parse_args(argv)
     common.select_backend(args)
 
@@ -74,8 +76,8 @@ def main(argv=None) -> None:
         cfg = cfg.replace(rays_per_launch=1 << 18)
     npix_ = cfg.width * cfg.height
     bands = args.bands
-    if bands == 0:  # auto: band large films (display fps ~x4)
-        bands = 4 if npix_ >= (1 << 19) and npix_ % (4 * 256) == 0 else 1
+    if bands == 0:  # auto = un-banded (banding measured slower on
+        bands = 1   # hardware at every size tried — docs/PERF.md r4)
     if bands > 1 and npix_ % (bands * 256) == 0:
         cfg = cfg.replace(preview_bands=bands)
     sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
