@@ -412,7 +412,7 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
            l_cap, anyhit: bool, gate, chunkp_ref=None, cstat_ref=None,
            buf_ref=None, dsem=None, chunked: bool = False,
            stream: bool = False, visit_reps: int = 1, stat_ref=None,
-           bounds: bool = False):
+           bounds: bool = False, prefilter_reps: int = 1):
     """One tile trace: feats [16, TM] (ray_features_t16 layout), ex
     [1, TM] i32 -> (bt [1, TM] f32 INF=miss, bi [1, TM] i32).
 
@@ -561,6 +561,29 @@ def _sweep(feats_t, ex_row, planes_ref, begin_ref, triu_ref, coefs_ref,
                 axis=1, keepdims=True).astype(jnp.int32)
             stat_ref[4:5, 0:1] = jnp.sum(
                 cg01, axis=1, keepdims=True).astype(jnp.int32)
+
+            if prefilter_reps == 2:
+                # '2xprefilter' replay: re-run the sub16 slab + chunk
+                # gate + compaction-position math on inputs perturbed
+                # by an opaque runtime zero (stat row 9 — only ever
+                # written in 'bounds' mode) and sink one cell into
+                # btw_ref (re-initialized before any visit reads it).
+                # Splits the chunked compaction's FIXED prefilter cost
+                # from the per-active-chunk loop: 2xsweep minus
+                # 2xvisit minus 2xprefilter = the chunk loop.
+                epsc = stat_ref[9:10, 0:1].astype(jnp.float32)
+                shits2 = slab(chunkp_ref[:] + epsc,
+                              conservative_nan=True)
+                sact2 = jnp.max(shits2.astype(jnp.float32), axis=0,
+                                keepdims=True)
+                sact2 = sact2 * (s_io < ns_real).astype(jnp.float32)
+                cgate2 = jnp.dot(sact2, gmat,
+                                 preferred_element_type=jnp.float32)
+                cg012 = (cgate2 > 0.0).astype(jnp.float32)
+                cpos2 = jnp.dot(cg012, triu_ref[:],
+                                preferred_element_type=jnp.float32)
+                btw_ref[0:1, 0:1] = jnp.sum(
+                    cpos2, axis=1, keepdims=True)
 
         def chunk_body(l, carry):
             # clamp like the stream path's cid: a compaction bug must
@@ -859,7 +882,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         cstat_ref=cstat_ref, buf_ref=buf_ref, dsem=dsem,
         chunked=chunked, stream=stream,
         visit_reps=2 if debug == "2xvisit" else 1, stat_ref=stat_ref,
-        bounds=debug == "bounds")
+        bounds=debug == "bounds",
+        prefilter_reps=2 if debug == "2xprefilter" else 1)
 
     def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
         if debug == "notrace":

@@ -195,10 +195,12 @@ def test_preview_mega_lowers_for_tpu(jade):
            sd.cluster_triu, sd.cluster_coef, tri8, mat16, envp)
 
 
-def test_mega_chunked_resident_lowers_for_tpu(jade):
+@pytest.mark.parametrize("dbg", ["full", "2xprefilter"])
+def test_mega_chunked_resident_lowers_for_tpu(jade, dbg):
     """Chunked compaction (dynamic active-chunk fori_loop over the
     compacted cstat list + [NC, 8, 128] planes restack) with resident
-    coefficients must pass the full pallas->Mosaic lowering."""
+    coefficients must pass the full pallas->Mosaic lowering — and the
+    '2xprefilter' replay (sub16 slab + chunk gate duplicated) with it."""
     from jaderaytracerendering_tpu.ops.pallas import mega as megak
 
     ds, sd = jade
@@ -214,7 +216,7 @@ def test_mega_chunked_resident_lowers_for_tpu(jade):
             has_sss=sd.has_sss,
             env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
             cdf_window=16, spp=4, has_refract=False,
-            gather="auto", interpret=False, **mopts)
+            gather="auto", interpret=False, _debug=dbg, **mopts)
 
     args = list(_mega_args(sd))
     args[6] = mtriu
