@@ -1278,6 +1278,22 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             exs.append(f.nee_excl)
             segs.append(cf)
             exs.append(f.cont_excl)
+            if debug == "2xsegfeats":  # replay: the E+2 segment
+                # feature builds + the stacked-operand concats
+                nee_p = V3(nee_o.x + eps_f, nee_o.y, nee_o.z)
+                segs2 = []
+                for i in range(e_cnt):
+                    sf2, _ = _feats16(nee_p, vwhere(
+                        f.needs_nee, f.ldirs[i], 0.0, jnp))
+                    segs2.append(sf2)
+                hf2, _ = _feats16(nee_p, vwhere(f.needs_nee, f.hdir,
+                                                0.0, jnp))
+                segs2.append(hf2)
+                cf2, _ = _feats16(vwhere(f.alive, V3(
+                    f.cont_src.x + eps_f, f.cont_src.y, f.cont_src.z),
+                    0.0, jnp), vwhere(f.alive, f.cdir, 0.0, jnp))
+                segs2.append(cf2)
+                _sink(jnp.concatenate(segs2, axis=1)[:, :tm])
             sbt, sbi = sweep(jnp.concatenate(segs, axis=1),
                              jnp.concatenate(exs, axis=1),
                              anyhit=False, gate=any_act)
@@ -1603,6 +1619,15 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         active3 = still | started
         ns2 = ns_r
 
+        if debug == "2xstatecat":  # replay: the state-merge concat
+            # (48 rows from 18 pieces) + one extra full-state store
+            cat2 = jnp.concatenate([
+                ray_src3.x + eps_f, ray_src3.y, ray_src3.z,
+                out_dir3.x, out_dir3.y, out_dir3.z,
+                t_put3.x, t_put3.y, t_put3.z,
+                l_acc3.x, l_acc3.y, l_acc3.z,
+                le03.x, le03.y, le03.z, zrow, trow3, mrow3])
+            fst_ref[:] = cat2
         fst_ref[:] = jnp.concatenate([
             ray_src3.x, ray_src3.y, ray_src3.z,
             out_dir3.x, out_dir3.y, out_dir3.z,

@@ -421,7 +421,8 @@ def test_mega_bounds_debug_no_violations(mode_kw):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
-                                 "2xfilm", "2xspawncam"])
+                                 "2xfilm", "2xspawncam", "2xsegfeats",
+                                 "2xstatecat"])
 def test_mega_replay_debug_bit_exact(dbg):
     """The r5 replay-attribution variants duplicate a pure component
     on perturbed-by-runtime-zero inputs, sinking the duplicate into

@@ -131,7 +131,8 @@ def test_mega_prologue_lowers_for_tpu(jade):
 
 
 @pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
-                                 "2xfilm", "2xspawncam", "bounds"])
+                                 "2xfilm", "2xspawncam", "bounds",
+                                 "2xsegfeats", "2xstatecat"])
 def test_mega_replay_debug_lowers_for_tpu(jade, dbg):
     """The r5 idempotent-replay attribution variants (non-sweep tail
     decomposition) must lower — they duplicate pure components with
