@@ -885,9 +885,7 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
         bounds=debug == "bounds",
         prefilter_reps=2 if debug == "2xprefilter" else 1)
 
-    def sweep(*a, gate, **k):  # debug='notrace': all visits gated off
-        if debug == "notrace":
-            gate = jnp.float32(0) > 0.0
+    def _one_sweep(*a, gate, **k):
         r = _base_sweep(*a, gate=gate, **k)
         n = cnt_ref[0:1, 0:1]
         stat_ref[0:1, 0:1] = jnp.maximum(stat_ref[0:1, 0:1], n)
@@ -904,6 +902,38 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             # and with them the ray mix, which muddies attribution
             r = _base_sweep(*a, gate=gate, **k)
         return r
+
+    # fabric/sweep width decoupling (cfg.mega_sweep_tile = SWT > 0):
+    # wide lane tiles recover VPU sublane utilization on the [1, TM]
+    # bounce-math rows (subprobe: ~24 Gflop/s at [1, 128] vs ~150 at
+    # [1, 1024]) but widen every sweep's candidate UNION (more visits,
+    # the old TM=1024 regression). Splitting each sweep call into
+    # SWT-wide sub-calls — each with its own slab + compaction +
+    # visit loop — keeps the union at sub-tile granularity while the
+    # rest of the iteration runs at full width. Results are identical:
+    # a ray's hits depend only on its own slab row, and every cluster
+    # it can hit passes its own slab test (AABB conservativeness), so
+    # candidate-set membership of OTHER rays' clusters never changes
+    # its min. Per-call stats update per sub-call (l_cap capacity is
+    # per-compaction, so that is the honest granularity).
+    swt = int(getattr(cfg, "mega_sweep_tile", 0) or 0)
+
+    def sweep(feats_t, ex_row, *, gate, **k):
+        if debug == "notrace":  # ablation: all visits gated off
+            gate = jnp.float32(0) > 0.0
+        w = feats_t.shape[1]
+        if swt <= 0 or w <= swt:
+            return _one_sweep(feats_t, ex_row, gate=gate, **k)
+        assert w % swt == 0, (w, swt)
+        bts, bis = [], []
+        for i in range(w // swt):
+            bt_i, bi_i = _one_sweep(feats_t[:, i * swt:(i + 1) * swt],
+                                    ex_row[:, i * swt:(i + 1) * swt],
+                                    gate=gate, **k)
+            bts.append(bt_i)
+            bis.append(bi_i)
+        return (jnp.concatenate(bts, axis=1),
+                jnp.concatenate(bis, axis=1))
 
     # 'block' only pays off for COHERENT ids (cluster-local triangle
     # rows, primary-ray env texels); scattered fetches (CDF buckets,

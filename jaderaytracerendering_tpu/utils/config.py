@@ -108,6 +108,15 @@ class RenderConfig:
     # of the resident scene tables and blow XLA's default 16 MiB scoped
     # budget. Demo bench: 128 -> 13.1, 256 -> 14.6, 512 -> 14.5,
     # 1024 -> 11.5 Mrays/s (divergence within a tile rises with TM).
+    mega_sweep_tile: int = 0          # megakernel: sub-tile width for
+    # each sweep CALL (0 = the full input width, i.e. no split). Wide
+    # fabric tiles (mega_tile 512/1024) recover VPU sublane utilization
+    # on the [1, TM] bounce-math rows but widen every sweep's candidate
+    # UNION; a sub-tile split keeps each compaction + visit loop at
+    # SWT-lane unions while the rest of the iteration runs at full
+    # width. Bit-identical results (a ray's hits depend only on its own
+    # slab row; AABB slab conservativeness covers every hittable
+    # cluster).
     mega_force_stream: bool = False   # megakernel: force the HBM-
     # streaming coefficient path even when the scene fits VMEM
     # (test/A-B hook; production selection is integrator/mega.mode)

@@ -163,6 +163,23 @@ def test_mega_tile_width_bit_exact(tile):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("swt", [64, 128])
+@pytest.mark.slow
+def test_mega_sweep_tile_bit_exact(swt):
+    """cfg.mega_sweep_tile splits each sweep call into SWT-wide
+    sub-calls (own slab + compaction + visit loop each) so wide fabric
+    tiles keep sub-tile candidate unions. A ray's hits depend only on
+    its own slab row, so the render must be BIT-identical to the
+    unsplit sweep."""
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(spp=2)
+    a = np.asarray(mega.render_film_mega(
+        sd, ds.camera, cfg.replace(mega_sweep_tile=swt)).mean())
+    b = np.asarray(mega.render_film_mega(sd, ds.camera, cfg).mean())
+    np.testing.assert_array_equal(a, b)
+
+
 @pytest.mark.slow
 def test_mega_stream_bit_exact_vs_resident():
     """mega_force_stream (HBM coefficients through the DMA double

@@ -153,6 +153,29 @@ def test_mega_replay_debug_lowers_for_tpu(jade, dbg):
     _lower(f, *_mega_args(sd))
 
 
+def test_mega_wide_fabric_subtiled_sweep_lowers_for_tpu(jade):
+    """The production wide-fabric shape (mega_tile=1024 with
+    mega_sweep_tile=256 sub-tiled sweeps + redistribution + prologue):
+    the 128-aligned static lane-dim slices of the [16, TM] feature rows
+    and the per-sub-call compaction must lower."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds, sd = jade
+    cfg = RenderConfig(width=8, height=8, mega_redistribute=True,
+                      mega_prologue=True, mega_tile=1024,
+                      mega_sweep_tile=256).replace(spp=1)
+
+    def f(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=4, has_refract=False,
+            gather="auto", interpret=False)
+
+    _lower(f, *_mega_args(sd))
+
+
 def test_mega_refract_lowers_for_tpu():
     from jaderaytracerendering_tpu.ops.pallas import mega as megak
 

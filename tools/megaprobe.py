@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--prologue", action="store_true",
                     help="primary prologue + pre-traced work list "
                     "(cfg.mega_prologue=True)")
+    ap.add_argument("--sweep-tile", type=int, default=0,
+                    help="cfg.mega_sweep_tile: sub-tile width per "
+                    "sweep call (0 = no split)")
     ap.add_argument("--mega-tile", type=int, default=0,
                     help="0 = cfg default")
     ap.add_argument("--cpu", action="store_true")
@@ -73,6 +76,8 @@ def main():
         cfg = cfg.replace(spawn_rounds=args.spawn_rounds)
     if args.mega_tile:
         cfg = cfg.replace(mega_tile=args.mega_tile)
+    if args.sweep_tile:
+        cfg = cfg.replace(mega_sweep_tile=args.sweep_tile)
     if args.stream:
         cfg = cfg.replace(mega_force_stream=True)
     if args.chunked:
