@@ -1864,11 +1864,27 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
             c, r = cr
             return cam_ref[0:1, 4 * c + r:4 * c + r + 1]
 
-    sweep = functools.partial(
+    _p_sweep = functools.partial(
         _sweep, planes_ref=planes_ref, begin_ref=begin_ref,
         triu_ref=triu_ref, coefs_ref=coefs_ref, ids_ref=ids_ref,
         cnt_ref=cnt_ref, btw_ref=btw_ref, bw_ref=bw_ref, kp=kp, cp=cp,
         n_clusters=n_clusters, l_cap=l_cap, anyhit=False)
+
+    # fabric/sweep width decoupling — same mechanism as _mega_kernel's
+    # cfg.mega_sweep_tile (bit-identical; see the comment there)
+    _swt_p = int(getattr(cfg, "mega_sweep_tile", 0) or 0)
+
+    def sweep(feats_t, ex_row, *, gate, **k):
+        w = feats_t.shape[1]
+        if _swt_p <= 0 or w <= _swt_p:
+            return _p_sweep(feats_t, ex_row, gate=gate, **k)
+        assert w % _swt_p == 0, (w, _swt_p)
+        outs = [_p_sweep(feats_t[:, i * _swt_p:(i + 1) * _swt_p],
+                         ex_row[:, i * _swt_p:(i + 1) * _swt_p],
+                         gate=gate, **k)
+                for i in range(w // _swt_p)]
+        return (jnp.concatenate([o[0] for o in outs], axis=1),
+                jnp.concatenate([o[1] for o in outs], axis=1))
 
     gm_coh = gather
     gm_scat = "loop" if gather in ("block", "mxuloop") else gather

@@ -31,12 +31,14 @@ run() {
   echo "$(date +%H:%M:%S) end $name rc=$rc" >> $OUT/watch.log
 }
 
-# wider lane tiles under redistribution: the [1, TM] row math runs at
-# ~1/8 sublane utilization (subprobe); the old TM=1024 regression was
-# divergence-idle, which redistribution + prologue remove
-run mdef_redist_t512 2400 python tools/megaprobe.py --gather auto --redist --mega-tile 512
-run mdef_redist_t1024 2400 python tools/megaprobe.py --gather auto --redist --mega-tile 1024
+# wider lane tiles under redistribution+prologue: the [1, TM] row math
+# runs at ~1/8 sublane utilization (subprobe); the old TM=1024
+# regression was divergence-idle + union growth — redistribution +
+# prologue remove the first, mega_sweep_tile removes the second
 run mdef_prol_t512 2400 python tools/megaprobe.py --gather auto --redist --prologue --mega-tile 512
+run mdef_prol_t1024_s256 2400 python tools/megaprobe.py --gather auto --redist --prologue --mega-tile 1024 --sweep-tile 256
+run mdef_prol_t512_s256 2400 python tools/megaprobe.py --gather auto --redist --prologue --mega-tile 512 --sweep-tile 256
+run mdef_prol_t1024 2400 python tools/megaprobe.py --gather auto --redist --prologue --mega-tile 1024
 # preview decomposition (mega + pool)
 run prev_mega 1800 python tools/prevprobe.py --engine mega
 run prev_pool 1800 python tools/prevprobe.py --engine pool
