@@ -74,7 +74,7 @@ class RenderConfig:
     # Default ON since r5 — hardware A/B (r4 batch, quiet chip) won
     # every row: default 18.25 vs 15.25, depth16 16.36 vs 12.79,
     # 100k 13.31 vs 10.46, 400k-stream 8.11 vs 6.17 Mrays/s.
-    mega_prologue: bool = False       # megakernel PRIMARY PROLOGUE
+    mega_prologue: bool = True        # megakernel PRIMARY PROLOGUE
     # (requires mega_redistribute): before the bounce loop, trace all
     # spp x TM primary rays at FULL lane density (lane == pixel, spp
     # sequential full-tile sweeps), resolve sky misses immediately as
@@ -83,7 +83,10 @@ class RenderConfig:
     # The main loop then pulls PRE-TRACED surface items — the spawn
     # round loses its sweep + env fetch entirely and every pull yields
     # real work, so the sky pull stall (51% of demo items are sky,
-    # ~36% of lane-iterations stalled pending) vanishes.
+    # ~36% of lane-iterations stalled pending) vanishes. Default ON
+    # since r5: same-session hardware A/B (quiet chip) measured the
+    # default row 17.90 -> 21.04 Mrays/s (+17.5%) with lane
+    # utilization 52.9% -> 85.1%.
     mega_chunked: str = "auto"        # megakernel candidate compaction:
     # 'auto' (chunked iff streaming) | 'on' (force the chunked
     # compaction — sub16 prefilter + dynamic active-chunk loop + fixed
