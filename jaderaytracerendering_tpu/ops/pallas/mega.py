@@ -1180,6 +1180,29 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
             eobj = et_row[12:13].astype(jnp.int32)
             for o_ in range(ota_ref.shape[0]):
                 tot_a = jnp.where(eobj == o_, ota_ref[o_, 0], tot_a)
+            if debug == "2xsssprep":  # replay: the SSS preamble's pure
+                # math (per-object table selects + branch masks + the
+                # exit-row object selects; the gathers themselves are
+                # counted by 2xgather)
+                obj2 = obj + eps_u.astype(jnp.int32)
+                ota2 = jnp.zeros((1, tm), jnp.float32)
+                nbv2 = jnp.ones((1, tm), jnp.float32)
+                base2 = jnp.zeros((1, tm), jnp.float32)
+                for o_ in range(ota_ref.shape[0]):
+                    sel2 = obj2 == o_
+                    ota2 = jnp.where(sel2, ota_ref[o_, 0], ota2)
+                    nbv2 = jnp.where(sel2, ota_ref[o_, 1], nbv2)
+                    base2 = jnp.where(sel2, ota_ref[o_, 2], base2)
+                _, _, _, _, sss_exit2, _, _, _ = wavefront._branch_masks(
+                    active ^ eps_b, us[0] + eps_f, us[1],
+                    mrow[7].astype(jnp.int32), mrow[6].astype(jnp.int32),
+                    cfg, emis0, jnp)
+                tot2 = jnp.zeros((1, tm), jnp.float32)
+                eobj2 = eobj + eps_u.astype(jnp.int32)
+                for o_ in range(ota_ref.shape[0]):
+                    tot2 = jnp.where(eobj2 == o_, ota_ref[o_, 0], tot2)
+                _sink(ota2 + nbv2 + base2 + tot2
+                      + sss_exit2.astype(jnp.float32))
         else:
             erows = exit_tri = tot_a = None
 
@@ -1268,6 +1291,16 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 zb, zb, ray_src.x, ray_src.y, ray_src.z, tri))
             refr = (V3(mc[2], mc[3], mc[4]), V3(mc[5], mc[6], mc[7]),
                     mc[8] != 0, mc[13], V3(mc[10], mc[11], mc[12]))
+            if debug == "2xmarch":  # replay: the WHOLE direct-
+                # refraction march (its nested sweeps + row/env work
+                # included — overlaps 2xsweep/2xgather on those parts;
+                # runtime-identical trip count since eps is zero)
+                mc2 = jax.lax.while_loop(m_cond, m_body, (
+                    0, n_live0, rdir0.x + eps_f, rdir0.y, rdir0.z,
+                    one_mf + zrow, one_mf + zrow, one_mf + zrow,
+                    zb, zb, ray_src.x + eps_f, ray_src.y, ray_src.z,
+                    tri))
+                _sink(mc2[2] + mc2[5])
         else:
             refr = None
 
@@ -1566,6 +1599,35 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
                 d_u = vm.vnormalize(
                     _unit_p(vwhere(got, dirs, 0.0, jnp)), jnp)
                 p_bt, p_bi = bt_pre
+                if debug == "2xpull":  # replay: the prologue pull
+                    # machinery — rank dot, the 3-plane one-hot work-
+                    # list fetch dots, item decode, jitter RNG + camera
+                    # rotate + direction normalize
+                    cf2 = cf + eps_f
+                    rank2 = jnp.dot(cf2, triu_i2) - cf2
+                    w_l2 = c_now + rank2.astype(jnp.int32)
+                    acc2 = zrow
+                    hi2 = jax.lax.Precision.HIGHEST
+                    for rr in range(2):
+                        ridx2 = jnp.minimum(r0p + rr, nw - 1)
+                        selm2 = haswork & (w_l2 // tm == r0p + rr)
+                        ohp2 = ((jax.lax.rem(w_l2, tm) == io_r2)
+                                & selm2).astype(jnp.float32)
+                        for off2 in (0, nw, 2 * nw):
+                            acc2 = acc2 + jnp.dot(
+                                wl_ref[pl.ds(off2 + ridx2, 1), :], ohp2,
+                                precision=hi2)
+                    itm2 = acc2.astype(jnp.int32) - 1
+                    uj2 = rng.uniform_sites(
+                        jnp, pu_g + eps_u, smp_nu, 0,
+                        [S.JITTER_X, S.JITTER_Y], seed)
+                    d2 = vm.vnormalize(vm.vtransform(_Mat(), V3(
+                        dcam.x + uj2[0:1] - uj2[0:1], dcam.y, dcam.z),
+                        0.0), jnp)
+                    du2 = vm.vnormalize(
+                        _unit_p(vwhere(got, d2, 0.0, jnp)), jnp)
+                    _sink(du2.x + itm2.astype(jnp.float32)
+                          + jax.lax.rem(itm2, tm).astype(jnp.float32))
             else:
                 pf, d_u = _feats16(eye, vwhere(got, dirs, 0.0, jnp))
                 if debug == "2xspawncam":  # replay: jitter RNG +

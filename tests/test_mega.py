@@ -439,7 +439,7 @@ def test_mega_bounds_debug_no_violations(mode_kw):
 @pytest.mark.slow
 @pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
                                  "2xfilm", "2xspawncam", "2xsegfeats",
-                                 "2xstatecat"])
+                                 "2xstatecat", "2xsssprep", "2xpull"])
 def test_mega_replay_debug_bit_exact(dbg):
     """The r5 replay-attribution variants duplicate a pure component
     on perturbed-by-runtime-zero inputs, sinking the duplicate into
@@ -474,6 +474,46 @@ def test_mega_replay_debug_bit_exact(dbg):
         return np.asarray(out[0:3])
 
     np.testing.assert_array_equal(run(dbg), run("full"))
+
+
+@pytest.mark.slow
+def test_mega_replay_march_bit_exact():
+    """2xmarch duplicates the whole in-kernel refraction march (nested
+    sweeps included) on runtime-zero-perturbed inputs; film must stay
+    bit-identical on a direct-refraction scene."""
+    from jaderaytracerendering_tpu.ops.pallas import mega as megak
+
+    ds = demo.jade_scene(n_buddha_tris=300, env_shape=(16, 32))
+    ds.objects[0] = dataclasses.replace(
+        ds.objects[0],
+        material=dataclasses.replace(
+            ds.objects[0].material, refract_mode=material.DIR_REFRACT,
+            refract_index=1.5, refract_rate=(0.9, 0.9, 0.9)))
+    sd = assemble(ds.objects, ds.env_map, xp=jnp)
+    cfg = _cfg(max_depth=3, max_refract_bounces=4)
+    tri8, mat16, envp, buk, win, ota, ltab, lights2 = mega._tables(sd, jnp)
+    cam24 = jnp.concatenate([
+        jnp.asarray(ds.camera.camera_rotate, jnp.float32).reshape(-1),
+        jnp.asarray(ds.camera.eye, jnp.float32),
+        jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
+    npix = cfg.width * cfg.height
+    opts = mega.kernel_opts(sd, cfg)
+    triu = opts.pop("triu")
+
+    def run(dbg_):
+        ints = jnp.zeros((1, 8), jnp.int32)
+        out = megak.render_mega(
+            sd.n_clusters, ints, cam24, ltab, lights2, sd.cluster_planes,
+            sd.cluster_begin_col, triu, sd.cluster_coef,
+            tri8, mat16, envp, buk, win, ota, sd.cluster_sub16_planes,
+            cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=2, has_refract=True,
+            gather=cfg.mega_gather, interpret=True, _debug=dbg_, **opts)
+        return np.asarray(out[0:3])
+
+    np.testing.assert_array_equal(run("2xmarch"), run("full"))
 
 
 @pytest.mark.slow

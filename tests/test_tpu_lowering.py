@@ -132,7 +132,8 @@ def test_mega_prologue_lowers_for_tpu(jade):
 
 @pytest.mark.parametrize("dbg", ["2xrng", "2xfront", "2xresolve",
                                  "2xfilm", "2xspawncam", "bounds",
-                                 "2xsegfeats", "2xstatecat"])
+                                 "2xsegfeats", "2xstatecat",
+                                 "2xsssprep", "2xpull"])
 def test_mega_replay_debug_lowers_for_tpu(jade, dbg):
     """The r5 idempotent-replay attribution variants (non-sweep tail
     decomposition) must lower — they duplicate pure components with
@@ -198,6 +199,17 @@ def test_mega_refract_lowers_for_tpu():
             has_refract=True, gather="loop", interpret=False)
 
     _lower(f, *_mega_args(sd))
+
+    def f2(*a):
+        return megak.render_mega(
+            sd.n_clusters, *a, cfg=cfg, npix=64, e_cnt=sd.n_emit,
+            has_sss=sd.has_sss,
+            env_shape=(int(sd.env_map.shape[0]), int(sd.env_map.shape[1])),
+            cdf_window=16, spp=2,
+            has_refract=True, gather="loop", interpret=False,
+            _debug="2xmarch")
+
+    _lower(f2, *_mega_args(sd))
 
 
 def test_preview_mega_lowers_for_tpu(jade):
