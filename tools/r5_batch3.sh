@@ -1,7 +1,8 @@
 #!/bin/bash
-# Round-5 phase 3: 400k l_cap bump (max_n_act=273 > l_cap=256 causes
-# dense fallbacks), spawn_rounds=2 under the prologue (pulls are now
-# sweep-free), and the full matrix refresh with the settled defaults.
+# Round-5 phase 3 (reordered): 400k l_cap bump, prologue spawn_rounds,
+# the NEW attribution replays (2xmarch/2xsssprep/2xpull), and the
+# per-call fixed-cost spp slope — matrix refresh moved to the end of
+# the session so it captures the settled defaults.
 set -u
 cd /root/repo
 OUT=/tmp/r5_batch
@@ -31,7 +32,12 @@ run() {
   echo "$(date +%H:%M:%S) end $name rc=$rc" >> $OUT/watch.log
 }
 
+# the completed attribution under the production config (prologue)
+run mdef_attrib4 3000 python tools/megaprobe.py --gather auto --redist --prologue --debug full,2xmarch,2xsssprep,2xpull
+# per-call fixed cost: spp slope (same kernel, quarter/half work)
+run mdef_prol_spp4 1800 python tools/megaprobe.py --gather auto --redist --prologue --spp 4
+run mdef_prol_spp8 1800 python tools/megaprobe.py --gather auto --redist --prologue --spp 8
+# 400k levers
 run m400k_prol_lcap384 3000 python tools/megaprobe.py --tris 400000 --gather auto --redist --prologue --l-cap 384
 run mdef_prol_rounds2 2400 python tools/megaprobe.py --gather auto --redist --prologue --spawn-rounds 2
-run matrix 7200 python bench.py --all
 echo "$(date +%H:%M:%S) BATCH3 DONE" >> $OUT/watch.log
