@@ -102,16 +102,19 @@ class RenderConfig:
     # visit pay (E+2)x the lane work, which eats the prep savings.
     # Kept config-gated for scenes with many lights (prep scales with
     # E+2 calls; visit work doesn't).
-    mega_tile: int = 256              # megakernel lanes per pixel tile
+    mega_tile: int = 512              # megakernel lanes per pixel tile
     # (TM). Mosaic packs a [1, N] f32 row into sublanes at 128-lane
     # granularity, so per-lane VPU throughput rises with TM: the
     # tools/subprobe.py FMA probe measured [1,128] 24, [1,512] 93,
     # [1,1024] 150 Gflop/s. Needs the raised Mosaic vmem_limit_bytes
     # (ops/pallas/mega.py) — scratch + transients scale with TM on top
     # of the resident scene tables and blow XLA's default 16 MiB scoped
-    # budget. Demo bench: 128 -> 13.1, 256 -> 14.6, 512 -> 14.5,
-    # 1024 -> 11.5 Mrays/s (divergence within a tile rises with TM).
-    mega_sweep_tile: int = 0          # megakernel: sub-tile width for
+    # budget. Pre-redistribution bench: 128 -> 13.1, 256 -> 14.6,
+    # 512 -> 14.5, 1024 -> 11.5 Mrays/s (divergence in a tile rises
+    # with TM). r5 prologue-era A/B (same session, quiet chip):
+    # 256 -> 21.04, 512 -> 21.20, 512+swt256 -> 21.78,
+    # 1024+swt256 -> 20.12 => default 512 with mega_sweep_tile 256.
+    mega_sweep_tile: int = 256        # megakernel: sub-tile width for
     # each sweep CALL (0 = the full input width, i.e. no split). Wide
     # fabric tiles (mega_tile 512/1024) recover VPU sublane utilization
     # on the [1, TM] bounce-math rows but widen every sweep's candidate
