@@ -1,0 +1,34 @@
+#!/bin/bash
+# Round-5 phase 4: the final BENCH_MATRIX refresh with the settled
+# defaults (mega + redistribution + prologue + t512/swt256).
+set -u
+cd /root/repo
+OUT=/tmp/r5_batch
+mkdir -p $OUT
+
+until grep -q "BATCH3 DONE" $OUT/watch.log 2>/dev/null; do sleep 60; done
+
+health() {
+  timeout 300 python -c "import jax,jax.numpy as jnp; print(int(jnp.arange(8).sum()))" >/dev/null 2>&1
+}
+wait_chip() {
+  until health; do
+    echo "$(date +%H:%M:%S) chip still wedged" >> $OUT/watch.log
+    sleep 120
+  done
+  echo "$(date +%H:%M:%S) chip OK" >> $OUT/watch.log
+}
+run() {
+  local name=$1 tmo=$2; shift 2
+  if [ -s "$OUT/$name.done" ]; then return; fi
+  wait_chip
+  echo "$(date +%H:%M:%S) start $name" >> $OUT/watch.log
+  timeout "$tmo" "$@" > "$OUT/$name.log" 2>&1
+  local rc=$?
+  echo "rc=$rc" >> "$OUT/$name.log"
+  if [ $rc -eq 0 ]; then echo ok > "$OUT/$name.done"; fi
+  echo "$(date +%H:%M:%S) end $name rc=$rc" >> $OUT/watch.log
+}
+
+run matrix 7200 python bench.py --all
+echo "$(date +%H:%M:%S) BATCH4 DONE" >> $OUT/watch.log
