@@ -38,8 +38,15 @@ def main() -> None:
     ap.add_argument("--engine", default="pool", choices=["pool", "scan", "mega"])
     ap.add_argument("--mega-gather", default="auto",
                     choices=["loop", "mxu", "mxuloop", "auto", "block", "take"])
-    ap.add_argument("--mega-tile", type=int, default=256,
-                    help="megakernel lanes per pixel tile (TM)")
+    ap.add_argument("--mega-tile", type=int, default=0,
+                    help="megakernel lanes per pixel tile (TM); "
+                    "0 = the RenderConfig default")
+    ap.add_argument("--reps", type=int, default=4,
+                    help="mega: dependent whole renders chained inside "
+                    "ONE dispatch — the sustained-throughput protocol "
+                    "(production renders amortize the ~30 ms roundtrip "
+                    "+ per-call fixed cost the same way); 1 = the old "
+                    "single-shot protocol")
     ap.add_argument("--spawn-rounds", type=int, default=0,
                     help="pool: primary-spawn attempts per loop (0 = cfg default)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -84,7 +91,9 @@ def main() -> None:
         m2 = _subprocess_engine(args, "mega")
         if m2 is not None and m2 > mrays:
             mrays, engine = m2, "mega"
-    print(json.dumps(_line(mrays, engine=engine)))
+    extra = ({"reps": int(getattr(args, "reps", 4))}
+             if engine == "mega" else {})
+    print(json.dumps(_line(mrays, engine=engine, **extra)))
 
 
 def _subprocess_engine(args, engine: str):
@@ -99,7 +108,8 @@ def _subprocess_engine(args, engine: str):
     cmd = [sys.executable, os.path.abspath(__file__),
            "--engine", engine, "--width", str(args.width),
            "--height", str(args.height), "--spp", str(args.spp),
-           "--depth", str(args.depth), "--tris", str(args.tris)]
+           "--depth", str(args.depth), "--tris", str(args.tris),
+           "--reps", str(getattr(args, "reps", 4))]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=900)
@@ -153,7 +163,9 @@ def _run_matrix(base) -> None:
             m2 = _subprocess_engine(args, "mega")
             if m2 is not None and m2 > mrays:
                 mrays, eng = m2, "mega"
-        results[name] = _line(mrays, config=name, engine=eng)
+        extra = ({"reps": int(getattr(args, "reps", 4))}
+                 if eng == "mega" else {})
+        results[name] = _line(mrays, config=name, engine=eng, **extra)
         print(json.dumps(results[name]), flush=True)
     for name, eng, bands in (("preview1024", "pool", 1),
                              ("preview1024_mega", "mega", 1),
@@ -247,8 +259,9 @@ def _measure(args) -> float:
         spp_batch=args.spp_batch, max_depth=args.depth,
         rays_per_launch=args.rays_per_launch, traversal=args.traversal,
         engine=args.engine, mega_gather=getattr(args, "mega_gather", "auto"),
-        mega_tile=getattr(args, "mega_tile", 256),
     )
+    if getattr(args, "mega_tile", 0):
+        cfg = cfg.replace(mega_tile=args.mega_tile)
     if getattr(args, "spawn_rounds", 0):
         cfg = cfg.replace(spawn_rounds=args.spawn_rounds)
 
@@ -267,25 +280,42 @@ def _measure(args) -> float:
             jnp.zeros((5,), jnp.float32)]).reshape(1, 24)
         npix = cfg.width * cfg.height
 
-        # same single-dispatch protocol as the pool: one jitted call,
-        # one [4] stats transfer; the film checksum (a device-side full
-        # reduction over every output element) is the honest barrier
+        # single-dispatch protocol: one jitted call, one [4] stats
+        # transfer; the film checksum (a device-side full reduction
+        # over every output element) is the honest barrier. With
+        # --reps N > 1 the dispatch chains N dependent whole renders
+        # (distinct sample bases; each chained on the previous film
+        # checksum via a spare ints cell) — the SUSTAINED protocol:
+        # the ~30 ms tunnel roundtrip + ~10 ms per-call fixed cost
+        # (measured by the r5 spp slope: wall(spp) extrapolates to
+        # ~40 ms at spp=0) amortize over N renders exactly as a
+        # production multi-batch render amortizes them.
+        reps = max(1, int(getattr(args, "reps", 1)))
+
         @jax.jit
         def bench_call(ints_):
-            out = megak.render_mega(
-                sd.n_clusters, ints_, cam24, ltab, lights2,
-                sd.cluster_planes, sd.cluster_begin_col, mtriu,
-                sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
-                sd.cluster_sub16_planes,
-                cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
-                has_sss=sd.has_sss,
-                env_shape=(int(sd.env_map.shape[0]),
-                           int(sd.env_map.shape[1])),
-                cdf_window=16, spp=int(cfg.spp),
-                has_refract=sd.has_refract, gather=cfg.mega_gather,
-                interpret=jax.default_backend() == "cpu", **mopts)
-            return jnp.stack([jnp.max(out[4]), jnp.float32(0),
-                              jnp.sum(out[3]), jnp.sum(out[0:3])])
+            tot = jnp.zeros((4,), jnp.float32)
+            dep = jnp.int32(0)
+            for r_ in range(reps):
+                ir = (ints_.at[0, 2].add(r_ * int(cfg.spp))
+                      .at[0, 7].add(dep))
+                out = megak.render_mega(
+                    sd.n_clusters, ir, cam24, ltab, lights2,
+                    sd.cluster_planes, sd.cluster_begin_col, mtriu,
+                    sd.cluster_coef, tri8, mat16, envp, buk, win, ota,
+                    sd.cluster_sub16_planes,
+                    cfg=cfg.replace(spp=1), npix=npix, e_cnt=sd.n_emit,
+                    has_sss=sd.has_sss,
+                    env_shape=(int(sd.env_map.shape[0]),
+                               int(sd.env_map.shape[1])),
+                    cdf_window=16, spp=int(cfg.spp),
+                    has_refract=sd.has_refract, gather=cfg.mega_gather,
+                    interpret=jax.default_backend() == "cpu", **mopts)
+                st = jnp.stack([jnp.max(out[4]), jnp.float32(0),
+                                jnp.sum(out[3]), jnp.sum(out[0:3])])
+                dep = (st[3] * 0.0).astype(jnp.int32)
+                tot = tot + st
+            return tot
 
         ints0 = jnp.zeros((1, 8), jnp.int32)
         np.asarray(bench_call(ints0))  # compile + warm
