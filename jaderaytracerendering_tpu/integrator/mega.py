@@ -115,10 +115,11 @@ def kernel_opts(sd, cfg: RenderConfig) -> dict:
     c_pad = int(sd.cluster_planes.shape[1])
     # candidate cap scales with cluster count; overflow falls back to a
     # dense all-cluster sweep. Measured tile unions (in-kernel stats,
-    # r4): demo max 95 (64 caused 110 dense fallbacks/launch — wall-
-    # neutral but wasteful), 100k max 152, 400k max 211; 128/256 cover
-    # all three with zero overflows
-    l_cap = 128 if c_pad <= 512 else 256
+    # r4/r5): demo max 95-136, 100k max 217, 400k max 273 at tile 512
+    # (256 overflowed there — dense 4550-cluster fallbacks; 384
+    # measured +2.7% and compiles, where 512 hits the remote-compiler
+    # cliff)
+    l_cap = 128 if c_pad <= 512 else (256 if c_pad <= 2048 else 384)
     chunk128 = jnp.triu(jnp.ones((128, 128), jnp.float32))
     if m == "resident":
         # resident coefficients can still opt into the chunked
