@@ -76,9 +76,16 @@ def main(argv=None) -> None:
         cfg = cfg.replace(rays_per_launch=1 << 18)
     npix_ = cfg.width * cfg.height
     bands = args.bands
-    if bands == 0:  # auto = un-banded (banding measured slower on
-        bands = 1   # hardware at every size tried — docs/PERF.md r4)
-    if bands > 1 and npix_ % (bands * 256) == 0:
+    if bands == 0:
+        # auto = 4 bands: the r5 matrix measured banded preview FASTER
+        # (6.88/6.25 fps vs 3.88/3.56 un-banded at 1024^2) once the
+        # prologue-era engine cut per-frame compute below the fixed
+        # display-transfer cost — reversing the r4 finding (banded
+        # frames pay the fixed ~40 ms u8 transfer for 1/B of the
+        # sampling work; that trades well only when compute/B < fixed)
+        bands = 4
+    tile_w = int(getattr(cfg, "mega_tile", 256) or 256)
+    if bands > 1 and npix_ % (bands * tile_w) == 0:
         cfg = cfg.replace(preview_bands=bands)
     sd = assemble(objects, env, leaf_size=cfg.bvh_leaf_size, xp=jnp)
     stage(f"scene: {sd.n_triangles} tris, {sd.n_nodes} nodes, {sd.n_emit} lights")
