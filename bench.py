@@ -41,7 +41,7 @@ def main() -> None:
     ap.add_argument("--mega-tile", type=int, default=0,
                     help="megakernel lanes per pixel tile (TM); "
                     "0 = the RenderConfig default")
-    ap.add_argument("--reps", type=int, default=4,
+    ap.add_argument("--reps", type=int, default=8,
                     help="mega: dependent whole renders chained inside "
                     "ONE dispatch — the sustained-throughput protocol "
                     "(production renders amortize the ~30 ms roundtrip "
@@ -91,7 +91,7 @@ def main() -> None:
         m2 = _subprocess_engine(args, "mega")
         if m2 is not None and m2 > mrays:
             mrays, engine = m2, "mega"
-    extra = ({"reps": int(getattr(args, "reps", 4))}
+    extra = ({"reps": int(getattr(args, "reps", 8))}
              if engine == "mega" else {})
     print(json.dumps(_line(mrays, engine=engine, **extra)))
 
@@ -109,7 +109,7 @@ def _subprocess_engine(args, engine: str):
            "--engine", engine, "--width", str(args.width),
            "--height", str(args.height), "--spp", str(args.spp),
            "--depth", str(args.depth), "--tris", str(args.tris),
-           "--reps", str(getattr(args, "reps", 4))]
+           "--reps", str(getattr(args, "reps", 8))]
     try:
         proc = subprocess.run(cmd, capture_output=True, text=True,
                               timeout=900)
@@ -163,7 +163,7 @@ def _run_matrix(base) -> None:
             m2 = _subprocess_engine(args, "mega")
             if m2 is not None and m2 > mrays:
                 mrays, eng = m2, "mega"
-        extra = ({"reps": int(getattr(args, "reps", 4))}
+        extra = ({"reps": int(getattr(args, "reps", 8))}
                  if eng == "mega" else {})
         results[name] = _line(mrays, config=name, engine=eng, **extra)
         print(json.dumps(results[name]), flush=True)
