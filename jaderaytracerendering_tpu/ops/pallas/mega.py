@@ -917,6 +917,8 @@ def _mega_kernel(ints_ref, cam_ref, ltab_ref, lights_ref, planes_ref,
     # its min. Per-call stats update per sub-call (l_cap capacity is
     # per-compaction, so that is the honest granularity).
     swt = int(getattr(cfg, "mega_sweep_tile", 0) or 0)
+    if swt < 0:  # auto (see utils/config.py mega_sweep_tile)
+        swt = 256 if (chunked or stream) else 128
 
     def sweep(feats_t, ex_row, *, gate, **k):
         if debug == "notrace":  # ablation: all visits gated off
@@ -1935,6 +1937,8 @@ def _preview_kernel(ints_ref, cam_ref, planes_ref, begin_ref, triu_ref,
     # fabric/sweep width decoupling — same mechanism as _mega_kernel's
     # cfg.mega_sweep_tile (bit-identical; see the comment there)
     _swt_p = int(getattr(cfg, "mega_sweep_tile", 0) or 0)
+    if _swt_p < 0:  # auto (preview scenes are always resident)
+        _swt_p = 128
 
     def sweep(feats_t, ex_row, *, gate, **k):
         w = feats_t.shape[1]

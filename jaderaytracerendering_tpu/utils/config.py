@@ -114,8 +114,12 @@ class RenderConfig:
     # with TM). r5 prologue-era A/B (same session, quiet chip):
     # 256 -> 21.04, 512 -> 21.20, 512+swt256 -> 21.78,
     # 1024+swt256 -> 20.12 => default 512 with mega_sweep_tile 256.
-    mega_sweep_tile: int = 256        # megakernel: sub-tile width for
-    # each sweep CALL (0 = the full input width, i.e. no split). Wide
+    mega_sweep_tile: int = -1         # megakernel: sub-tile width for
+    # each sweep CALL. -1 = AUTO (128 for resident scenes, 256 for the
+    # chunked/stream path — r5 hardware A/B: swt128 22.56 vs swt256
+    # 21.97 on the default row, but 9.30 vs 9.43 at 400k where the
+    # extra chunk-loop invocations outweigh the tighter unions);
+    # 0 = the full input width, i.e. no split. Wide
     # fabric tiles (mega_tile 512/1024) recover VPU sublane utilization
     # on the [1, TM] bounce-math rows but widen every sweep's candidate
     # UNION; a sub-tile split keeps each compaction + visit loop at
