@@ -59,6 +59,7 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_compilation_cache", False)
     if args.small:
         args.width = args.height = 32
         args.spp = 2

@@ -36,11 +36,20 @@ __version__ = "0.1.0"
 # scene scale take minutes through the axon tunnel and the remote
 # compiler intermittently wedges on fresh compiles (docs/PERF.md) —
 # caching serialized executables across processes removes the repeat
-# risk entirely. Opt out with JADE_COMPILE_CACHE=0. Harmless no-op on
-# backends that don't support executable serialization.
+# risk entirely. Opt out with JADE_COMPILE_CACHE=0.
+#
+# TPU-only: serializing CPU executables SEGFAULTED the full test suite
+# (jax compilation_cache.put_executable_and_time — CPU AOT artifacts
+# embed host machine features like +prefer-no-gather and crash across
+# host types, the cpu_aot_loader warning class; this jaxlib has no
+# per-backend cache flag), so the cache is skipped when the process is
+# CPU-targeted: JAX_PLATFORMS=cpu here, tests/conftest.py exports
+# JADE_COMPILE_CACHE=0, and every --cpu entry point flips
+# jax_enable_compilation_cache off after selecting the CPU backend.
 import os as _os
 
-if _os.environ.get("JADE_COMPILE_CACHE", "1") != "0":
+if (_os.environ.get("JADE_COMPILE_CACHE", "1") != "0"
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
     try:
         import jax as _jax
 

@@ -125,3 +125,5 @@ def select_backend(args) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # CPU executable serialization segfaults (package __init__)
+        jax.config.update("jax_enable_compilation_cache", False)

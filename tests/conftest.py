@@ -18,10 +18,15 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# No persistent compile cache under tests: serializing CPU executables
+# segfaulted the suite (package __init__ docs; the crash is native, in
+# jax compilation_cache.put_executable_and_time)
+os.environ["JADE_COMPILE_CACHE"] = "0"
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 

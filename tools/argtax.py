@@ -32,6 +32,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
 
     def timed(fn, *a):

@@ -44,6 +44,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
     import numpy as np
     from jax.experimental import pallas as pl

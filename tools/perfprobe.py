@@ -50,6 +50,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
 
     from jaderaytracerendering_tpu.integrator import pool

@@ -23,6 +23,7 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
     import numpy as np
 

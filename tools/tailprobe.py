@@ -37,6 +37,7 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_compilation_cache", False)
     import jax.numpy as jnp
 
     from jaderaytracerendering_tpu.core import camera as camera_mod, rng
