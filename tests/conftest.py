@@ -31,6 +31,18 @@ jax.config.update("jax_enable_compilation_cache", False)
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The XLA:CPU backend segfaulted natively (backend_compile_and_load)
+    deep into the --runslow suite — hundreds of accumulated compiled
+    executables in one process; every module ran clean in isolation.
+    Dropping the in-process executable caches between modules keeps the
+    compiler state small. (Not a fix for the jaxlib bug, but it moves
+    the suite out of the crash regime.)"""
+    yield
+    jax.clear_caches()
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
